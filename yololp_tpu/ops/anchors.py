@@ -20,6 +20,18 @@ def feat_sizes(img_size: Tuple[int, int], strides: Sequence[int]):
     return [(h // s, w // s) for s in strides]
 
 
+def anchor_points_from_shapes(shapes, strides, grid_cell_offset: float = 0.5):
+    """Like anchor_points_eval but from explicit per-level (h, w) shapes."""
+    points, strides_out = [], []
+    for (h, w), stride in zip(shapes, strides):
+        sx = np.arange(w, dtype=np.float32) + grid_cell_offset
+        sy = np.arange(h, dtype=np.float32) + grid_cell_offset
+        gy, gx = np.meshgrid(sy, sx, indexing="ij")
+        points.append(np.stack([gx, gy], -1).reshape(-1, 2))
+        strides_out.append(np.full((h * w, 1), stride, dtype=np.float32))
+    return jnp.asarray(np.concatenate(points)), jnp.asarray(np.concatenate(strides_out))
+
+
 def anchor_points_eval(img_size, strides, grid_cell_offset: float = 0.5):
     """Eval-mode anchors: grid-cell centers in *grid units* + per-anchor stride.
 
