@@ -1,0 +1,190 @@
+"""Inference runtime (reference: yolov6/core/inferer.py).
+
+The device pipeline is one jitted program: uint8 batch -> /255 normalize ->
+fused deploy forward -> 290-col decode -> fixed-shape NMS -> (max_det, 28)
+detections. Host does only JPEG decode, letterbox, and drawing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import deque
+from pathlib import Path
+from typing import Optional
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yololp_tpu.data import vocab as V
+from yololp_tpu.data.images import LoadData, check_img_size, letterbox, rescale_dets
+from yololp_tpu.models.yolo import Model, build_model
+from yololp_tpu.layers.fuse import fuse_variables
+from yololp_tpu.ops.nms import non_max_suppression
+from yololp_tpu.utils.checkpoint import load_inference_variables
+from yololp_tpu.utils.config import Config
+
+
+class CalcFPS:
+    def __init__(self, nsamples: int = 50):
+        self.framerate = deque(maxlen=nsamples)
+
+    def update(self, duration: float):
+        self.framerate.append(duration)
+
+    def accumulate(self):
+        return np.average(self.framerate) if len(self.framerate) > 1 else 0.0
+
+
+class Inferer:
+    """Single-image / dir / video inference with drawing + txt export."""
+
+    def __init__(self, source: str, weights: Optional[str], config,
+                 img_size=640, half: bool = True, conf_thres: float = 0.4,
+                 iou_thres: float = 0.45, max_det: int = 300,
+                 npro: int = V.NPRO, nalp: int = V.NALP, nads: int = V.NADS):
+        if isinstance(config, str):
+            config = (Config.fromfile(config) if config.endswith(".py")
+                      else Config.named(config))
+        self.config = config
+        self.img_size = check_img_size(img_size, 32)
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        dtype = jnp.bfloat16 if half else jnp.float32
+
+        self.model = Model(config=config, npro=npro, nalp=nalp, nads=nads,
+                           deploy=True, dtype=dtype)
+        if weights:
+            self.variables = load_inference_variables(weights)
+        else:
+            # weight-free random init (demo/smoke path)
+            _, train_vars = build_model(config, npro, nalp, nads,
+                                        img_size=(64, 64), dtype=dtype)
+            self.variables = fuse_variables(train_vars)
+
+        model = self.model
+
+        @jax.jit
+        def _run(images_u8):
+            x = images_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+            pred = model.apply(self.variables, x, train=False)
+            return non_max_suppression(pred, conf_thres=self.conf_thres,
+                                       iou_thres=self.iou_thres,
+                                       max_det=self.max_det)
+
+        self._run = _run
+        self.source = source
+        self.fps_calc = CalcFPS()
+
+    def warmup(self):
+        dummy = jnp.zeros((1, self.img_size[0], self.img_size[1], 3), jnp.uint8)
+        jax.block_until_ready(self._run(dummy))
+
+    def precess_image(self, img_bgr: np.ndarray) -> np.ndarray:
+        """BGR source -> letterboxed RGB uint8 (inferer.py:192).
+
+        auto=False (full square pad): keeps the device program fixed-shape
+        (one XLA compilation for any source size) and matches rescale_dets'
+        pad math. The reference's auto-rect letterbox would trigger a
+        recompile per unique shape on TPU.
+        """
+        img = letterbox(img_bgr, self.img_size, auto=False, stride=32)[0]
+        return np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+
+    def detect(self, img_bgr: np.ndarray) -> np.ndarray:
+        """Run one image; returns (n, 28) detections in source coordinates."""
+        img = self.precess_image(img_bgr)
+        t0 = time.time()
+        det, valid, num = jax.block_until_ready(
+            self._run(jnp.asarray(img[None])))
+        self.fps_calc.update(1.0 / max(time.time() - t0, 1e-9))
+        n = int(num[0])
+        dets = np.asarray(det[0][:, :], np.float32)
+        dets = dets[np.asarray(valid[0])][:n]
+        if len(dets):
+            dets = rescale_dets(dets, img.shape[:2], img_bgr.shape[:2])
+        return dets
+
+    # ---- drawing ----
+
+    _font = None
+
+    @classmethod
+    def _load_font(cls, size: int = 22):
+        from PIL import ImageFont
+
+        candidates = [
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "data", "assets", "platechar.ttf"),
+        ]
+        for c in candidates:
+            if os.path.isfile(c):
+                try:
+                    return ImageFont.truetype(c, size)
+                except OSError:
+                    pass
+        return ImageFont.load_default()
+
+    @staticmethod
+    def plate_text(det_row: np.ndarray) -> str:
+        ids = det_row[20:28].astype(int)
+        return V.plate_string(ids[0], ids[1], ids[2:8])
+
+    def draw(self, img_bgr: np.ndarray, dets: np.ndarray) -> np.ndarray:
+        from PIL import Image, ImageDraw
+
+        out = img_bgr.copy()
+        for d in dets:
+            x1, y1, x2, y2 = d[:4].astype(int)
+            cv2.rectangle(out, (x1, y1), (x2, y2), (255, 255, 255), 2)
+            quad = d[4:12].reshape(4, 2).astype(int)
+            for i in range(4):
+                p1, p2 = tuple(quad[i]), tuple(quad[(i + 1) % 4])
+                cv2.line(out, p1, p2, (0, 255, 255), 2)
+        if len(dets):
+            pil = Image.fromarray(cv2.cvtColor(out, cv2.COLOR_BGR2RGB))
+            drawer = ImageDraw.Draw(pil)
+            font = self._load_font()
+            for d in dets:
+                conf = float(d[12:20].mean())
+                drawer.text((int(d[0]), max(int(d[1]) - 24, 0)),
+                            f"{self.plate_text(d)} {conf:.2f}",
+                            fill=(255, 0, 0), font=font)
+            out = cv2.cvtColor(np.asarray(pil), cv2.COLOR_RGB2BGR)
+        return out
+
+    def infer(self, save_dir: str, save_txt: bool = True, save_img: bool = True,
+              view: bool = False):
+        """Iterate the source, writing annotated images + label txts."""
+        save_dir = Path(save_dir)
+        (save_dir / "labels").mkdir(parents=True, exist_ok=True)
+        vid_writer = None
+        results = []
+        for img, path, kind in LoadData(self.source):
+            dets = self.detect(img)
+            results.append((path, dets))
+            if save_txt:
+                txt_path = save_dir / "labels" / (Path(path).stem + ".txt")
+                with open(txt_path, "a") as f:
+                    for d in dets:
+                        conf = float(d[12:20].mean())
+                        f.write(" ".join(f"{v:.4f}" for v in d[:12])
+                                + f" {conf:.4f} {self.plate_text(d)}\n")
+            if save_img:
+                drawn = self.draw(img, dets)
+                if kind == "image":
+                    cv2.imwrite(str(save_dir / Path(path).name), drawn)
+                else:
+                    if vid_writer is None:
+                        fps, wh = 30, (drawn.shape[1], drawn.shape[0])
+                        vid_writer = cv2.VideoWriter(
+                            str(save_dir / (Path(path).stem + "_out.mp4")),
+                            cv2.VideoWriter_fourcc(*"mp4v"), fps, wh)
+                    vid_writer.write(drawn)
+        if vid_writer is not None:
+            vid_writer.release()
+        return results
