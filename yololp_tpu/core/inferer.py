@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from yololp_tpu.data import vocab as V
 from yololp_tpu.data.images import LoadData, check_img_size, letterbox, rescale_dets
 from yololp_tpu.models.yolo import Model, build_model
-from yololp_tpu.layers.fuse import fuse_variables
+from yololp_tpu.layers.fuse import fuse_variables_jit as fuse_variables
 from yololp_tpu.ops.nms import non_max_suppression
 from yololp_tpu.utils.checkpoint import load_inference_variables
 from yololp_tpu.utils.config import Config

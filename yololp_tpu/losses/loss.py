@@ -1,0 +1,199 @@
+"""LP training loss — fixed-shape functional re-implementation.
+
+Behavioral reference: yolov6/models/losses/loss.py (ComputeLoss,
+VarifocalLoss, BboxLoss, CornerLoss, WingLoss). Differences by design:
+
+  * Targets arrive already padded to (B, M, 20) with an explicit mask from
+    the data pipeline, eliminating the reference's per-step host sync
+    (loss.py:295-304 runs targets.cpu().numpy() every iteration).
+  * All masked_select/positive-gather logic becomes full-shape masked
+    arithmetic so the whole loss jits (no dynamic shapes, no OOM->CPU
+    fallback; the assigner is yololp_tpu.assigners.atss).
+  * The 8 varifocal losses (pro, alp, 6 x ads) are one batched computation.
+
+Returns (total_loss, loss_items[7]) with loss_items =
+[iou, corner, dfl, cls, pro, alp, ads/6] matching engine.py:100's loss_info.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yololp_tpu.assigners.atss import atss_assign
+from yololp_tpu.models.effidehead import HeadTrainOutput
+from yololp_tpu.ops.anchors import anchors_train
+from yololp_tpu.ops.geometry import (
+    bbox2dist,
+    dist2bbox,
+    dist2cor,
+    iou_loss as iou_loss_fn,
+    xywh2xyxy,
+)
+
+
+def varifocal_loss(pred_score, gt_score, label, alpha=0.75, gamma=2.0):
+    """Sum-reduced VFL (loss.py:316-326), computed in fp32."""
+    pred = pred_score.astype(jnp.float32)
+    gt = gt_score.astype(jnp.float32)
+    weight = alpha * jnp.power(pred, gamma) * (1.0 - label) + gt * label
+    eps = 1e-12
+    bce = -(gt * jnp.log(jnp.clip(pred, eps, 1.0))
+            + (1.0 - gt) * jnp.log(jnp.clip(1.0 - pred, eps, 1.0)))
+    return (bce * weight).sum()
+
+
+def wing_loss(x, t, w=5.0, e=2.0):
+    """Elementwise WingLoss (loss.py:421-435); zero weight where t == -1."""
+    c = w - w * jnp.log(1.0 + w / e)
+    weight = jnp.where(t == -1.0, 0.0, 1.0)
+    diff = weight * (x - t)
+    abs_diff = jnp.abs(diff)
+    small = abs_diff < w
+    return jnp.where(small, w * jnp.log(1.0 + abs_diff / e), abs_diff - c)
+
+
+def _df_loss(pred_dist, target, reg_max):
+    """Distribution-focal loss pair (loss.py:385-396). pred_dist: (..., 4, R+1),
+    target: (..., 4) in [0, reg_max)."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(jnp.float32) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    take = lambda idx: jnp.take_along_axis(
+        logp, jnp.clip(idx, 0, reg_max)[..., None], axis=-1)[..., 0]
+    loss = -(take(tl) * wl + take(tr) * wr)
+    return loss.mean(-1, keepdims=True)
+
+
+class LossConfig(NamedTuple):
+    img_size: Tuple[int, int] = (640, 640)
+    strides: Tuple[int, ...] = (8, 16, 32)
+    npro: int = 31
+    nalp: int = 24
+    nads: int = 37
+    use_dfl: bool = False
+    reg_max: int = 0
+    iou_type: str = "giou"
+    grid_cell_size: float = 5.0
+    grid_cell_offset: float = 0.5
+    topk: int = 9
+    w_class: float = 3.0
+    w_iou: float = 2.5
+    w_corner: float = 1.0
+    w_dfl: float = 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compute_loss(outputs: HeadTrainOutput, gt_labels: jnp.ndarray,
+                 gt_mask: jnp.ndarray, cfg: LossConfig):
+    """Args:
+      outputs: head train output (scores sigmoided, reg/cor raw).
+      gt_labels: (B, M, 20) [pro, alp, ads0..5, cx, cy, w, h, x1..y4] with
+        coords normalized to [0, 1] (the on-disk label format,
+        datasets.py:654-662); class slots of padded rows = -1, coords = 0.
+      gt_mask: (B, M) 1.0 for real boxes.
+    """
+    anchors, anchor_points, n_list, stride_tensor = anchors_train(
+        cfg.img_size, cfg.strides, cfg.grid_cell_size, cfg.grid_cell_offset)
+
+    # ---- target preprocess (loss.py:295-304), fixed shape ----
+    scale = jnp.asarray(
+        [cfg.img_size[1], cfg.img_size[0]] * 6, jnp.float32)  # x, y pairs
+    gt_pro = gt_labels[..., 0]
+    gt_alp = gt_labels[..., 1]
+    gt_ads = gt_labels[..., 2:8]
+    pts = gt_labels[..., 8:20] * scale
+    gt_bboxes = xywh2xyxy(pts[..., 0:4])
+    gt_corners = pts[..., 4:12]
+    mask_gt = gt_mask[..., None].astype(jnp.float32)
+    mask_gt = mask_gt * (gt_bboxes.sum(-1, keepdims=True) > 0).astype(jnp.float32)
+    gt_bboxes = gt_bboxes * mask_gt
+
+    # ---- decode preds in grid units (loss.py:86-89) ----
+    anchor_points_s = anchor_points / stride_tensor
+    reg = outputs.reg
+    if cfg.use_dfl:
+        b, a, _ = reg.shape
+        prob = jax.nn.softmax(reg.reshape(b, a, 4, cfg.reg_max + 1), -1)
+        proj = jnp.arange(cfg.reg_max + 1, dtype=jnp.float32)
+        reg_dist = jnp.einsum("bakr,r->bak", prob, proj)
+    else:
+        reg_dist = reg
+    pred_bboxes = dist2bbox(reg_dist, anchor_points_s)          # xyxy, grid units
+    pred_corners = dist2cor(outputs.cor, anchor_points_s)
+
+    # ---- assignment (no gradient) ----
+    res = atss_assign(
+        anchors, tuple(n_list), gt_pro, gt_alp, gt_ads, gt_bboxes, gt_corners,
+        mask_gt, jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
+        topk=cfg.topk, npro=cfg.npro, nalp=cfg.nalp, nads=cfg.nads)
+    fg = res.fg_mask.astype(jnp.float32)                         # (B, A)
+
+    target_bboxes = res.target_bboxes / stride_tensor
+    target_corners = res.target_corners / stride_tensor
+
+    # ---- classification VFL x8 (loss.py:233-272) ----
+    one_hot_pro = jax.nn.one_hot(res.target_pro, cfg.npro + 1)[..., :cfg.npro]
+    one_hot_alp = jax.nn.one_hot(res.target_alp, cfg.nalp + 1)[..., :cfg.nalp]
+    one_hot_ads = jax.nn.one_hot(res.target_ads, cfg.nads + 1)[..., :cfg.nads]
+
+    loss_pro = varifocal_loss(outputs.pro, res.target_pro_scores, one_hot_pro)
+    loss_alp = varifocal_loss(outputs.alp, res.target_alp_scores, one_hot_alp)
+    # per-slot normalization requires per-slot sums: keep the 6 ads separate
+    ads_losses = []
+    ads_sums = []
+    for i in range(6):
+        li = varifocal_loss(outputs.ads[:, :, i], res.target_ads_scores[:, :, i],
+                            one_hot_ads[:, :, i])
+        si = res.target_ads_scores[:, :, i].sum()
+        ads_losses.append(jnp.where(si > 0, li / si, li))
+        ads_sums.append(si)
+
+    pro_sum = res.target_pro_scores.sum()
+    alp_sum = res.target_alp_scores.sum()
+    loss_pro = jnp.where(pro_sum > 0, loss_pro / pro_sum, loss_pro)
+    loss_alp = jnp.where(alp_sum > 0, loss_alp / alp_sum, loss_alp)
+    loss_ads = sum(ads_losses)
+    loss_cls = (loss_pro + loss_alp + loss_ads) / 8.0
+    target_scores_sum = (pro_sum + alp_sum + sum(ads_sums)) / 8.0
+
+    # ---- bbox IoU (+DFL) loss (loss.py:329-396), masked full-shape ----
+    per_anchor_score = (res.target_pro_scores.sum(-1)
+                        + res.target_alp_scores.sum(-1)
+                        + res.target_ads_scores.sum((-1, -2))) / 8.0  # (B, A)
+    bbox_weight = per_anchor_score * fg
+    iou_l = iou_loss_fn(pred_bboxes, target_bboxes,
+                        iou_type=cfg.iou_type, eps=1e-10)[..., 0]
+    loss_iou = (iou_l * bbox_weight).sum()
+    loss_iou = jnp.where(target_scores_sum > 0, loss_iou / target_scores_sum,
+                         loss_iou)
+
+    if cfg.use_dfl:
+        b, a, _ = reg.shape
+        pd = reg.reshape(b, a, 4, cfg.reg_max + 1)
+        target_ltrb = bbox2dist(anchor_points_s, target_bboxes, cfg.reg_max)
+        dfl = _df_loss(pd, target_ltrb, cfg.reg_max)[..., 0]
+        loss_dfl = (dfl * bbox_weight).sum()
+        loss_dfl = jnp.where(target_scores_sum > 0,
+                             loss_dfl / target_scores_sum, loss_dfl)
+    else:
+        loss_dfl = reg.sum() * 0.0
+
+    # ---- corner WingLoss (loss.py:398-419) ----
+    wl = wing_loss(pred_corners, target_corners).sum(-1)         # (B, A)
+    loss_cor_sum = (wl * fg).sum()
+    loss_cor = jnp.where(target_scores_sum > 0,
+                         loss_cor_sum / (8.0 * target_scores_sum),
+                         loss_cor_sum / 8.0)
+
+    total = (cfg.w_class * loss_cls + cfg.w_iou * loss_iou
+             + cfg.w_corner * loss_cor + cfg.w_dfl * loss_dfl)
+    items = jnp.stack([cfg.w_iou * loss_iou, cfg.w_corner * loss_cor,
+                       cfg.w_dfl * loss_dfl, cfg.w_class * loss_cls,
+                       loss_pro, loss_alp, loss_ads / 6.0])
+    return total, jax.lax.stop_gradient(items)

@@ -113,5 +113,8 @@ def build_model(config, npro=31, nalp=24, nads=37, img_size=(640, 640),
     model = Model(config=config, npro=npro, nalp=nalp, nads=nads,
                   deploy=deploy, dtype=dtype)
     dummy = jnp.zeros((batch_size, img_size[0], img_size[1], 3), dtype)
-    variables = model.init(jax.random.PRNGKey(seed), dummy, train=not deploy)
+    # jit the init: unjitted flax init dispatches hundreds of tiny eager ops,
+    # which is pathologically slow over a remote/tunneled TPU backend.
+    init_fn = jax.jit(lambda k: model.init(k, dummy, train=not deploy))
+    variables = init_fn(jax.random.PRNGKey(seed))
     return model, variables
