@@ -1,0 +1,114 @@
+"""The jitted training step: forward + loss + SGD + EMA + grad accumulation.
+
+Reference behavior (yolov6/core/engine.py:137-166, 338-354): forward under
+autocast, loss backward (grads accumulate in .grad), optimizer step every
+`accumulate` micro-steps with warmup-interpolated lr/momentum, EMA update on
+each optimizer step. Here the whole thing is ONE pure function of
+(TrainState, batch) -> TrainState, so it jits (and pjits over a device mesh)
+with no host round-trips. bf16 is used for the conv stack via the model's
+dtype; master params, grads and optimizer state are fp32 (TPU needs no loss
+scaler — engine.py's GradScaler has no equivalent here by design).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from yololp_tpu.losses.loss import LossConfig, compute_loss
+from yololp_tpu.solver.build import (
+    SolverConfig,
+    accumulate_steps,
+    ema_update,
+    init_momentum,
+    label_tree,
+    schedule,
+    sgd_apply,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    momentum: Any          # SGD velocity
+    grad_accum: Any        # gradient buffer (sums like torch .grad)
+    ema_params: Any
+    ema_stats: Any
+    ema_updates: jnp.ndarray   # int32 count of optimizer steps
+    step: jnp.ndarray          # int32 global micro-step
+    last_opt_step: jnp.ndarray  # int32
+
+
+def init_train_state(variables) -> TrainState:
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    f32 = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), t)
+    params = f32(params)
+    stats = f32(stats)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(
+        params=params, batch_stats=stats, momentum=init_momentum(params),
+        grad_accum=zeros, ema_params=params, ema_stats=stats,
+        ema_updates=jnp.asarray(0, jnp.int32), step=jnp.asarray(0, jnp.int32),
+        last_opt_step=jnp.asarray(-1_000_000, jnp.int32))
+
+
+def make_train_step(model, loss_cfg: LossConfig, solver_cfg: SolverConfig,
+                    batch_size: int):
+    """Returns train_step(state, images, gt_labels, gt_mask) ->
+    (state, total_loss, loss_items). images: (B, H, W, 3) uint8."""
+
+    def train_step(state: TrainState, images, gt_labels, gt_mask):
+        def loss_fn(params):
+            x = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            total, items = compute_loss(out, gt_labels, gt_mask, loss_cfg)
+            return total, (items, mutated["batch_stats"])
+
+        (total, (items, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        labels = label_tree(state.params)  # static strings from tree structure
+
+        # accumulate grads (torch .grad semantics: sum of micro-step grads)
+        grad_accum = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(jnp.float32), state.grad_accum, grads)
+
+        step = state.step
+        accum = accumulate_steps(solver_cfg, batch_size, step)
+        do_step = (step - state.last_opt_step) >= accum.astype(jnp.int32)
+        lr_w, lr_b, mom = schedule(solver_cfg, step)
+
+        def apply_opt(operand):
+            params, vel, buf, emap, emas, eupd = operand
+            new_params, new_vel = sgd_apply(
+                params, buf, vel, labels, lr_w, lr_b, mom,
+                solver_cfg.weight_decay)
+            eupd = eupd + 1
+            new_emap = ema_update(emap, new_params, eupd)
+            new_emas = ema_update(emas, new_stats, eupd)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, buf)
+            return new_params, new_vel, zero, new_emap, new_emas, eupd
+
+        def skip_opt(operand):
+            return operand
+
+        params, vel, buf, emap, emas, eupd = jax.lax.cond(
+            do_step, apply_opt, skip_opt,
+            (state.params, state.momentum, grad_accum,
+             state.ema_params, state.ema_stats, state.ema_updates))
+
+        new_state = TrainState(
+            params=params, batch_stats=new_stats, momentum=vel,
+            grad_accum=buf, ema_params=emap, ema_stats=emas,
+            ema_updates=eupd, step=step + 1,
+            last_opt_step=jnp.where(do_step, step, state.last_opt_step))
+        return new_state, total, items
+
+    return train_step
