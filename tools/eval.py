@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Evaluation CLI (reference: tools/eval.py).
+
+Prints the LP metric: AP per IoU bucket, mAP/mAP50/mAP75/mAP50-95, recall,
+and the speed report (pre / infer / post ms per image).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("YOLO-LP TPU evaluation", add_help=True)
+    p.add_argument("--data", type=str, default=None, help="dataset yaml")
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--conf-file", type=str, default="yololps")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.03)
+    p.add_argument("--iou-thres", type=float, default=0.65)
+    p.add_argument("--task", default="val", choices=["val", "test", "speed"])
+    p.add_argument("--device", default="tpu")
+    p.add_argument("--half", action="store_true", default=True)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--test_load_size", type=int, default=None)
+    p.add_argument("--letterbox_return_int", action="store_true")
+    p.add_argument("--synthetic-data", type=str, default=None,
+                   help="path to a make_synthetic_dataset root (smoke/demo)")
+    return p
+
+
+def main(args=None):
+    args = get_args_parser().parse_args(args)
+    if args.task == "speed":  # speed task thresholds (evaler.py:592)
+        args.conf_thres = max(args.conf_thres, 0.4)
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    import jax.numpy as jnp
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from yololp_tpu.core.evaler import run_eval
+    from yololp_tpu.data.vocab import load_dataset_yaml
+    from yololp_tpu.models.yolo import Model
+    from yololp_tpu.utils.checkpoint import load_inference_variables
+    from yololp_tpu.utils.config import Config
+
+    cfg = (Config.fromfile(args.conf_file) if args.conf_file.endswith(".py")
+           else Config.named(args.conf_file))
+    if args.synthetic_data:
+        data_dict = {"val": osp.join(args.synthetic_data, "images", "val"),
+                     "npro": 31, "nalp": 24, "nads": 37}
+    else:
+        assert args.data, "--data or --synthetic-data required"
+        data_dict = load_dataset_yaml(args.data)
+
+    eval_hyp = {}
+    if args.test_load_size:
+        eval_hyp["test_load_size"] = args.test_load_size
+    if args.letterbox_return_int:
+        eval_hyp["letterbox_return_int"] = True
+
+    variables = load_inference_variables(args.weights)
+    model = Model(config=cfg, npro=int(data_dict.get("npro", 31)),
+                  nalp=int(data_dict.get("nalp", 24)),
+                  nads=int(data_dict.get("nads", 37)), deploy=True,
+                  dtype=jnp.bfloat16 if args.half else jnp.float32)
+
+    results, speed = run_eval(
+        model, variables, data_dict, batch_size=args.batch_size,
+        img_size=args.img_size, conf_thres=args.conf_thres,
+        iou_thres=args.iou_thres, half=args.half, workers=args.workers,
+        eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task)
+
+    mAP, mAP50, mAP75, mAP5095, recall, mAP_list, recall_list = results
+    print("AP per IoU bucket [0.50..0.95]:")
+    for i, (ap, rc) in enumerate(zip(mAP_list, recall_list)):
+        print(f"  IoU {0.5 + i * 0.05:.2f}: AP={ap:.4f} recall={rc:.4f}")
+    print(f"mAP={mAP:.4f} mAP50={mAP50:.4f} mAP75={mAP75:.4f} "
+          f"mAP50-95={mAP5095:.4f} recall={recall:.4f}")
+    print(f"speed per image: pre {speed['pre_ms']:.2f} ms, "
+          f"infer {speed['infer_ms']:.2f} ms, post {speed['post_ms']:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Training CLI (reference: tools/train.py).
+
+Examples:
+  python tools/train.py --conf-file yololps --data-path data/dataset.yaml
+  python tools/train.py --conf-file yololpn --synthetic-data --epochs 3 \
+      --img-size 256 --batch-size 8 --device cpu     # smoke run, no dataset
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("YOLO-LP TPU training", add_help=True)
+    p.add_argument("--data-path", type=str, default=None, help="dataset yaml")
+    p.add_argument("--conf-file", type=str, default="yololps",
+                   help="model config: built-in name or .py path")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="GLOBAL batch size (sharded over the mesh)")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--device", default="tpu", help="tpu or cpu")
+    p.add_argument("--eval-interval", type=int, default=20)
+    p.add_argument("--heavy-eval-range", type=int, default=50,
+                   help="eval every epoch in the last N epochs")
+    p.add_argument("--stop_aug_last_n_epoch", type=int, default=15)
+    p.add_argument("--output-dir", default="./runs/train")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--resume", nargs="?", const=True, default=False)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--data-parallel", action="store_true", default=True,
+                   help="shard batches over all local devices")
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="generate a small synthetic dataset (smoke/demo)")
+    p.add_argument("--synthetic-n", type=int, default=64)
+    return p
+
+
+def main(args=None):
+    args = get_args_parser().parse_args(args)
+    if args.device == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from yololp_tpu.core.engine import Trainer
+    from yololp_tpu.data.vocab import load_dataset_yaml
+    from yololp_tpu.utils.config import Config
+
+    cfg = (Config.fromfile(args.conf_file) if args.conf_file.endswith(".py")
+           else Config.named(args.conf_file))
+
+    if args.synthetic_data:
+        from yololp_tpu.data.synthetic import make_synthetic_dataset
+
+        root = osp.join(args.output_dir, "synthetic_data")
+        data_dict = make_synthetic_dataset(
+            root, n_train=args.synthetic_n, n_val=max(args.synthetic_n // 4, 4),
+            img_size=args.img_size, seed=args.seed)
+    else:
+        assert args.data_path, "--data-path or --synthetic-data required"
+        data_dict = load_dataset_yaml(args.data_path)
+
+    args.save_dir = osp.join(args.output_dir, args.name)
+
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import Mesh
+        import numpy as np
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+        assert args.batch_size % len(jax.devices()) == 0, \
+            "global batch size must divide the device count"
+
+    trainer = Trainer(args, cfg, data_dict, device_mesh=mesh)
+    resume_path = None
+    if args.resume:
+        resume_path = (args.resume if isinstance(args.resume, str) else
+                       osp.join(args.save_dir, "weights", "last_ckpt.msgpack"))
+    best = trainer.train(resume_path=resume_path)
+    print(f"Training done. best mAP={best:.4f}. Checkpoints in "
+          f"{osp.join(args.save_dir, 'weights')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Training engine (reference: yolov6/core/engine.py Trainer).
+
+Orchestrates: data loaders -> jitted train step (forward/loss/SGD/EMA inside
+one XLA program, optionally pjit over a device mesh) -> per-epoch eval with
+the LP metric -> last/best checkpointing -> scalar logging (jsonl + optional
+tensorboard). The hot loop does no host-side math beyond feeding uint8
+batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yololp_tpu.core.evaler import run_eval
+from yololp_tpu.core.train_step import TrainState, init_train_state, make_train_step
+from yololp_tpu.data.datasets import create_dataloader
+from yololp_tpu.layers.fuse import fuse_variables_jit
+from yololp_tpu.losses.loss import LossConfig
+from yololp_tpu.models.yolo import Model, build_model
+from yololp_tpu.solver.build import SolverConfig
+from yololp_tpu.utils.checkpoint import save_checkpoint
+from yololp_tpu.utils.config import Config
+
+LOSS_NAMES = ["iou_loss", "cor_loss", "dfl_loss", "cls_loss",
+              "pro_loss", "alp_loss", "ads_loss"]
+
+
+class Trainer:
+    def __init__(self, args, cfg: Config, data_dict: Dict, device_mesh=None):
+        self.args = args
+        self.cfg = cfg
+        self.data_dict = data_dict
+        self.img_size = int(args.img_size)
+        self.batch_size = int(args.batch_size)
+        self.epochs = int(args.epochs)
+        self.save_dir = args.save_dir
+        self.mesh = device_mesh
+        os.makedirs(osp.join(self.save_dir, "weights"), exist_ok=True)
+
+        self.npro = int(data_dict.get("npro", 31))
+        self.nalp = int(data_dict.get("nalp", 24))
+        self.nads = int(data_dict.get("nads", 37))
+
+        hyp = dict(cfg["data_aug"])
+        self.train_loader, self.train_dataset = create_dataloader(
+            data_dict["train"], self.img_size, self.batch_size, hyp=hyp,
+            augment=True, workers=int(args.workers), task="train",
+            seed=getattr(args, "seed", 0))
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+
+        dtype = jnp.bfloat16 if getattr(args, "bf16", True) else jnp.float32
+        self.model = Model(config=cfg, npro=self.npro, nalp=self.nalp,
+                           nads=self.nads, deploy=False, dtype=dtype)
+        _, variables = build_model(cfg, self.npro, self.nalp, self.nads,
+                                   img_size=(64, 64), dtype=dtype,
+                                   seed=getattr(args, "seed", 0))
+        self.state = init_train_state(variables)
+
+        head = cfg["model"]["head"]
+        self.loss_cfg = LossConfig(
+            img_size=(self.img_size, self.img_size),
+            strides=tuple(head["strides"]), npro=self.npro, nalp=self.nalp,
+            nads=self.nads, use_dfl=bool(head["use_dfl"]),
+            reg_max=int(head["reg_max"]), iou_type=head["iou_type"])
+        solver = cfg["solver"]
+        self.solver_cfg = SolverConfig(
+            lr0=solver["lr0"], lrf=solver["lrf"], momentum=solver["momentum"],
+            weight_decay=solver["weight_decay"],
+            warmup_epochs=solver["warmup_epochs"],
+            warmup_momentum=solver["warmup_momentum"],
+            warmup_bias_lr=solver["warmup_bias_lr"],
+            lr_scheduler=solver["lr_scheduler"], epochs=self.epochs,
+            steps_per_epoch=self.steps_per_epoch)
+
+        step_fn = make_train_step(self.model, self.loss_cfg, self.solver_cfg,
+                                  self.batch_size)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_sh = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+            self.state = jax.device_put(self.state, repl)
+            self.step_fn = jax.jit(
+                step_fn,
+                in_shardings=(repl, data_sh, data_sh, data_sh),
+                out_shardings=(repl, repl, repl))
+        else:
+            self.step_fn = jax.jit(step_fn)
+
+        self.best_ap = -1.0
+        self.log_path = osp.join(self.save_dir, "train_log.jsonl")
+        self.tb = self._try_tensorboard()
+
+    def _try_tensorboard(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(osp.join(self.save_dir, "tb"))
+        except (ImportError, OSError):
+            return None
+
+    def _log(self, record: Dict):
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self.tb is not None:
+            step = record.get("step", 0)
+            for k, v in record.items():
+                if isinstance(v, (int, float)) and k != "step":
+                    self.tb.add_scalar(k, v, step)
+
+    # ---- checkpoints (engine.py:168-196 policy) ----
+
+    def save(self, name: str, epoch: int):
+        ckpt = {
+            "format": "train", "step": int(self.state.step), "epoch": epoch,
+            "variables": {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats},
+            "ema": {"params": self.state.ema_params,
+                    "batch_stats": self.state.ema_stats},
+            "opt_state": {"momentum": self.state.momentum,
+                          "ema_updates": self.state.ema_updates,
+                          "last_opt_step": self.state.last_opt_step},
+            "meta": {"cfg": str(self.cfg.get("_filename", "")),
+                     "img_size": self.img_size},
+        }
+        save_checkpoint(ckpt, osp.join(self.save_dir, "weights", name))
+
+    def resume(self, path: str):
+        from yololp_tpu.utils.checkpoint import load_checkpoint_raw
+
+        ckpt = load_checkpoint_raw(path)
+        v = ckpt["variables"]
+        ema = ckpt.get("ema") or v
+        opt = ckpt.get("opt_state") or {}
+        st = self.state
+        self.state = TrainState(
+            params=v["params"], batch_stats=v.get("batch_stats", {}),
+            momentum=opt.get("momentum", st.momentum),
+            grad_accum=jax.tree_util.tree_map(jnp.zeros_like, v["params"]),
+            ema_params=ema["params"], ema_stats=ema.get("batch_stats", {}),
+            ema_updates=jnp.asarray(opt.get("ema_updates", 0), jnp.int32),
+            step=jnp.asarray(ckpt.get("step", 0), jnp.int32),
+            last_opt_step=jnp.asarray(opt.get("last_opt_step", -1), jnp.int32))
+        return int(ckpt.get("epoch", -1)) + 1
+
+    # ---- eval hook ----
+
+    def eval_model(self):
+        variables = fuse_variables_jit(
+            {"params": self.state.ema_params,
+             "batch_stats": self.state.ema_stats})
+        eval_model = Model(config=self.cfg, npro=self.npro, nalp=self.nalp,
+                           nads=self.nads, deploy=True, dtype=self.model.dtype)
+        results, speed = run_eval(
+            eval_model, variables, self.data_dict,
+            batch_size=self.batch_size, img_size=self.img_size,
+            workers=int(self.args.workers))
+        return results, speed
+
+    # ---- main loop ----
+
+    def train(self, resume_path: Optional[str] = None):
+        start_epoch = self.resume(resume_path) if resume_path else 0
+        stop_aug_epoch = self.epochs - int(
+            getattr(self.args, "stop_aug_last_n_epoch", 15))
+        eval_interval = int(getattr(self.args, "eval_interval", 20))
+        eval_final_n = int(getattr(self.args, "heavy_eval_range", 50))
+
+        for epoch in range(start_epoch, self.epochs):
+            if epoch == stop_aug_epoch:
+                self.train_dataset.disable_heavy_aug()
+            t0 = time.time()
+            mean_items = np.zeros(7)
+            n_steps = 0
+            for imgs, labels, masks, _, _ in self.train_loader:
+                self.state, total, items = self.step_fn(
+                    self.state, jnp.asarray(imgs), jnp.asarray(labels),
+                    jnp.asarray(masks))
+                mean_items += np.asarray(items)
+                n_steps += 1
+            mean_items /= max(n_steps, 1)
+            record = {"epoch": epoch, "step": int(self.state.step),
+                      "epoch_time_s": round(time.time() - t0, 1),
+                      **{f"train/{k}": float(v)
+                         for k, v in zip(LOSS_NAMES, mean_items)}}
+
+            do_eval = ((epoch % eval_interval == 0)
+                       or (epoch >= self.epochs - eval_final_n)
+                       or (epoch == self.epochs - 1))
+            if do_eval:
+                results, speed = self.eval_model()
+                ap = float(results[0])
+                record.update({"val/mAP": ap, "val/mAP50": float(results[1]),
+                               "val/mAP75": float(results[2]),
+                               "val/mAP50_95": float(results[3]),
+                               "val/recall": float(results[4]), **speed})
+                self.save("last_ckpt.msgpack", epoch)
+                if ap > self.best_ap:
+                    self.best_ap = ap
+                    self.save("best_ckpt.msgpack", epoch)
+            else:
+                self.save("last_ckpt.msgpack", epoch)
+            self._log(record)
+            print(f"epoch {epoch}: " + " ".join(
+                f"{k.split('/')[-1]}={v:.4f}" for k, v in record.items()
+                if isinstance(v, float)))
+        return self.best_ap

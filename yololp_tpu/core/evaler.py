@@ -1,0 +1,212 @@
+"""Validation runtime + the LP corner-and-string accuracy metric.
+
+Behavioral reference: yolov6/core/evaler.py (predict at :103, the LP metric
+at :153-283, speed report at :507-513). The metric, faithfully reproduced:
+
+  For each image, each gt is matched to its best-IoU prediction. Matches with
+  IoU >= 0.5 land in one of 10 IoU buckets [0.5, 0.55, ..., 0.95]. A match is
+  "right" iff the corner mean-L1 error < 0.1 * sqrt(gt box area) AND all 8
+  characters are predicted correctly. Per-bucket AP = right/matched; summary
+  numbers (mAP, mAP50, mAP75, mAP50-95, recall) aggregate the buckets exactly
+  as the reference does (including its >=0.7 'pred_cnt' convention).
+
+The device path (forward + decode + NMS) is one jitted fixed-shape program;
+val batches come from the fixed-square-letterbox loader so a single XLA
+compilation serves the whole dataset.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yololp_tpu.data.datasets import create_dataloader
+from yololp_tpu.ops.nms import non_max_suppression
+
+
+class Evaler:
+    def __init__(self, data_dict: Dict, batch_size: int = 32, img_size: int = 640,
+                 conf_thres: float = 0.03, iou_thres: float = 0.65,
+                 half: bool = True, workers: int = 4, max_det: int = 300,
+                 eval_hyp: Optional[Dict] = None):
+        self.data = data_dict
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.half = half
+        self.workers = workers
+        self.max_det = max_det
+        self.eval_hyp = eval_hyp or {}
+        self.speed_result = np.zeros(4)  # n, pre ms, infer ms, post ms
+
+    def init_data(self, task: str = "val"):
+        path = self.data[task if task in self.data else "val"]
+        loader, dataset = create_dataloader(
+            path, self.img_size, self.batch_size, hyp=self.eval_hyp,
+            augment=False, workers=self.workers, shuffle=False,
+            drop_last=False, task="val")
+        return loader, dataset
+
+    def make_infer_fn(self, model, variables):
+        conf, iou, md = self.conf_thres, self.iou_thres, self.max_det
+
+        @jax.jit
+        def run(images_u8):
+            x = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+            pred = model.apply(variables, x, train=False)
+            return non_max_suppression(pred.astype(jnp.float32),
+                                       conf_thres=conf, iou_thres=iou,
+                                       max_det=md)
+
+        return run
+
+    def predict(self, run_fn, dataloader) -> Tuple[List, List]:
+        """Returns per-image (dets (n, 28), targets (m, 20) in letterboxed
+        pixel coords, xyxy boxes)."""
+        pred_results, total_targets = [], []
+        last_bs = None
+        for imgs, labels, masks, paths, shapes in dataloader:
+            bs, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+            if bs != last_bs:
+                last_bs = bs  # final partial batch triggers one extra compile
+            t1 = time.perf_counter()
+            imgs_dev = jnp.asarray(imgs)
+            t2 = time.perf_counter()
+            det, valid, num = jax.block_until_ready(run_fn(imgs_dev))
+            t3 = time.perf_counter()
+            det = np.asarray(det)
+            valid = np.asarray(valid)
+            num = np.asarray(num)
+            t4 = time.perf_counter()
+            self.speed_result += [bs, (t2 - t1) * 1e3, (t3 - t2) * 1e3,
+                                  (t4 - t3) * 1e3]
+
+            for j in range(bs):
+                dets_j = det[j][valid[j]][: int(num[j])]
+                lbl = labels[j][masks[j] > 0].copy()
+                if len(lbl):
+                    # normalized cxcywh+corners -> letterboxed-pixel xyxy+corners
+                    cx, cy = lbl[:, 8] * w, lbl[:, 9] * h
+                    bw, bh = lbl[:, 10] * w, lbl[:, 11] * h
+                    out = lbl.copy()
+                    out[:, 8] = cx - bw / 2
+                    out[:, 9] = cy - bh / 2
+                    out[:, 10] = cx + bw / 2
+                    out[:, 11] = cy + bh / 2
+                    out[:, 12:20:2] = lbl[:, 12:20:2] * w
+                    out[:, 13:20:2] = lbl[:, 13:20:2] * h
+                    lbl = out
+                pred_results.append(dets_j)
+                total_targets.append(lbl)
+        return pred_results, total_targets
+
+    @staticmethod
+    def _box_iou(a, b):
+        """(P, 4) x (T, 4) xyxy IoU."""
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        lt = np.maximum(a[:, None, :2], b[None, :, :2])
+        rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
+
+    def eval(self, preds: List[np.ndarray], targets: List[np.ndarray]):
+        """The LP metric (evaler.py:153-283)."""
+        iou_edges = [0.5 + i * 0.05 for i in range(10)]
+        right_cnt = [0] * 10
+        cor_right_cnt = [0] * 10
+        cls_right_cnt = [0] * 10
+        pred_cnts = [0] * 10
+        pred_cnt = 0
+        true_cnt = 0
+
+        for pred, target in zip(preds, targets):
+            true_cnt += len(target)
+            if len(pred) == 0 or len(target) == 0:
+                continue
+            iou = self._box_iou(pred[:, :4], target[:, 8:12])  # (P, T)
+            best_iou = iou.max(0)        # per-target
+            best_pred = iou.argmax(0)
+            for k in range(len(target)):
+                t_iou = best_iou[k]
+                if t_iou < 0.5:
+                    continue
+                if t_iou >= 0.7:
+                    pred_cnt += 1
+                iou_idx = min(int((t_iou - 0.5) / 0.05), 9)
+                t_pred = pred[best_pred[k]]
+                t_target = target[k]
+                tb = t_target[8:12]
+                area = (tb[2] - tb[0]) * (tb[3] - tb[1])
+
+                is_cor = (np.abs(t_pred[4:12] - t_target[12:20]).sum() / 8.0
+                          < 0.1 * np.sqrt(max(area, 0.0)))
+                is_cls = np.all(t_pred[20:28].astype(int)
+                                == t_target[:8].astype(int))
+                if is_cor:
+                    cor_right_cnt[iou_idx] += 1
+                if is_cls:
+                    cls_right_cnt[iou_idx] += 1
+                if is_cor and is_cls:
+                    right_cnt[iou_idx] += 1
+                pred_cnts[iou_idx] += 1
+
+        # ---- aggregation (evaler.py:246-283) ----
+        mAP_list = [0.0] * 10
+        mAP_50_95 = 0.0
+        t_cnt = 0
+        right_50 = pred_50 = right_75 = pred_75 = t_right = 0
+        for i in range(10):
+            mAP_list[i] = (right_cnt[i] / pred_cnts[i] if pred_cnts[i] > 0
+                           else -int(right_cnt[i] == pred_cnts[i]))
+            if mAP_list[i] != -1:
+                mAP_50_95 += mAP_list[i]
+                t_cnt += 1
+            right_50 += right_cnt[i]
+            pred_50 += pred_cnts[i]
+            if iou_edges[i] >= 0.75:
+                right_75 += right_cnt[i]
+                pred_75 += pred_cnts[i]
+            if iou_edges[i] >= 0.7:
+                t_right += right_cnt[i]
+        mAP_50_95 = mAP_50_95 / t_cnt if t_cnt > 0 else 0.0
+        mAP_50 = right_50 / pred_50 if pred_50 > 0 else 0.0
+        mAP_75 = right_75 / pred_75 if pred_75 > 0 else 0.0
+        mAP = t_right / pred_cnt if pred_cnt > 0 else 0.0
+
+        recall_list = [0.0] * 10
+        recall = 0
+        for i in range(10):
+            for j in range(i + 1):
+                recall_list[i] += right_cnt[j]
+            recall_list[i] = recall_list[i] / true_cnt if true_cnt > 0 else 0.0
+            recall += right_cnt[i]
+        recall = recall / true_cnt if true_cnt > 0 else 0.0
+        return [mAP, mAP_50, mAP_75, mAP_50_95, recall, mAP_list, recall_list]
+
+    def eval_speed(self):
+        """avg ms per image (pre, infer, post) — evaler.py:507."""
+        n = max(self.speed_result[0], 1)
+        return {"pre_ms": self.speed_result[1] / n,
+                "infer_ms": self.speed_result[2] / n,
+                "post_ms": self.speed_result[3] / n}
+
+
+def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
+             conf_thres=0.03, iou_thres=0.65, half=True, workers=4,
+             eval_hyp=None, task="val"):
+    """One-call eval (mirrors tools/eval.py run): returns (results, speed)."""
+    ev = Evaler(data_dict, batch_size, img_size, conf_thres, iou_thres,
+                half=half, workers=workers, eval_hyp=eval_hyp)
+    loader, _ = ev.init_data(task)
+    run_fn = ev.make_infer_fn(model, variables)
+    preds, targets = ev.predict(run_fn, loader)
+    results = ev.eval(preds, targets)
+    return results, ev.eval_speed()

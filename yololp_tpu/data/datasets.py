@@ -278,7 +278,9 @@ def create_dataloader(path, img_size, batch_size, hyp=None, augment=False,
             loader = DataLoader(
                 dataset, batch_size=batch_size, shuffle=shuffle,
                 num_workers=workers, collate_fn=collate_batch,
-                drop_last=drop_last, persistent_workers=workers > 0)
+                drop_last=drop_last, persistent_workers=workers > 0,
+                # fork after JAX init deadlocks (JAX is multithreaded)
+                multiprocessing_context="spawn", prefetch_factor=2)
             return loader, dataset
         except ImportError:
             pass

@@ -50,17 +50,38 @@ def _rint(rng, val) -> int:
 
 
 class GlyphRenderer:
-    """Renders a 70px-tall glyph as a (70, w) uint8 alpha mask."""
+    """Renders a 70px-tall glyph as a (70, w) uint8 alpha mask.
+
+    Fonts are loaded lazily so the object stays picklable (dataloader
+    workers run under a spawn multiprocessing context)."""
 
     def __init__(self, cjk_font_path: Optional[str] = None):
-        self.latin = ImageFont.truetype(LATIN_FONT, 60)
-        self.cjk = None
-        if cjk_font_path and os.path.isfile(cjk_font_path):
-            try:
-                self.cjk = ImageFont.truetype(cjk_font_path, 43)
-            except OSError:
-                self.cjk = None
+        self.cjk_font_path = cjk_font_path
+        self._latin = None
+        self._cjk = None
         self._pseudo_cache = {}
+
+    def __getstate__(self):
+        return {"cjk_font_path": self.cjk_font_path}
+
+    def __setstate__(self, state):
+        self.__init__(state["cjk_font_path"])
+
+    @property
+    def latin(self):
+        if self._latin is None:
+            self._latin = ImageFont.truetype(LATIN_FONT, 60)
+        return self._latin
+
+    @property
+    def cjk(self):
+        if self._cjk is None and self.cjk_font_path and os.path.isfile(
+                self.cjk_font_path):
+            try:
+                self._cjk = ImageFont.truetype(self.cjk_font_path, 43)
+            except OSError:
+                self.cjk_font_path = None
+        return self._cjk
 
     def latin_glyph(self, ch: str, w: int = 23) -> np.ndarray:
         img = Image.new("L", (w, 70), 0)
