@@ -1,18 +1,16 @@
-# yolov6s (reference: configs/yolov6s.py)
+# base/yolov6n_base (reference: configs/base/yolov6n_base.py)
 model = dict(
-    type="YOLOv6s",
+    type="YOLOv6n_base",
     pretrained=None,
     depth_multiple=0.33,
-    width_multiple=0.5,
+    width_multiple=0.25,
     backbone=dict(
         type="EfficientRep",
         num_repeats=[1, 6, 12, 18, 6],
         out_channels=[64, 128, 256, 512, 1024],
-        fuse_P2=True,
-        cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
+        type="RepPANNeck",
         num_repeats=[12, 12, 12, 12],
         out_channels=[256, 128, 128, 256, 256, 512],
     ),
@@ -61,4 +59,4 @@ data_aug = dict(
     mixup=0.0,
 )
 
-training_mode = "repvgg"
+training_mode = "conv_relu"

@@ -1,20 +1,20 @@
-# yolov6s (reference: configs/yolov6s.py)
+# base/yolov6s_base (reference: configs/base/yolov6s_base.py)
 model = dict(
-    type="YOLOv6s",
+    type="YOLOv6s_base",
     pretrained=None,
-    depth_multiple=0.33,
+    depth_multiple=0.7,
     width_multiple=0.5,
     backbone=dict(
-        type="EfficientRep",
+        type="CSPBepBackbone",
         num_repeats=[1, 6, 12, 18, 6],
         out_channels=[64, 128, 256, 512, 1024],
-        fuse_P2=True,
-        cspsppf=True,
+        csp_e=float(1) / 2,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
+        type="CSPRepPANNeck",
         num_repeats=[12, 12, 12, 12],
         out_channels=[256, 128, 128, 256, 256, 512],
+        csp_e=float(1) / 2,
     ),
     head=dict(
         type="EffiDeHead",
@@ -61,4 +61,4 @@ data_aug = dict(
     mixup=0.0,
 )
 
-training_mode = "repvgg"
+training_mode = "conv_relu"

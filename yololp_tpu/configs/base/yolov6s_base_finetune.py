@@ -1,20 +1,20 @@
-# yolov6s (reference: configs/yolov6s.py)
+# base/yolov6s_base_finetune (reference: configs/base/yolov6s_base_finetune.py)
 model = dict(
-    type="YOLOv6s",
-    pretrained=None,
-    depth_multiple=0.33,
+    type="YOLOv6s_base",
+    pretrained="weights/yolov6s_base.msgpack",
+    depth_multiple=0.7,
     width_multiple=0.5,
     backbone=dict(
-        type="EfficientRep",
+        type="CSPBepBackbone",
         num_repeats=[1, 6, 12, 18, 6],
         out_channels=[64, 128, 256, 512, 1024],
-        fuse_P2=True,
-        cspsppf=True,
+        csp_e=float(1) / 2,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
+        type="CSPRepPANNeck",
         num_repeats=[12, 12, 12, 12],
         out_channels=[256, 128, 128, 256, 256, 512],
+        csp_e=float(1) / 2,
     ),
     head=dict(
         type="EffiDeHead",
@@ -38,27 +38,27 @@ model = dict(
 solver = dict(
     optim="SGD",
     lr_scheduler="Cosine",
-    lr0=0.01,
-    lrf=0.01,
-    momentum=0.937,
-    weight_decay=0.0005,
-    warmup_epochs=3.0,
-    warmup_momentum=0.8,
-    warmup_bias_lr=0.1,
+    lr0=0.0032,
+    lrf=0.12,
+    momentum=0.843,
+    weight_decay=0.00036,
+    warmup_epochs=2.0,
+    warmup_momentum=0.5,
+    warmup_bias_lr=0.05,
 )
 
 data_aug = dict(
-    hsv_h=0.015,
-    hsv_s=0.7,
-    hsv_v=0.4,
-    degrees=0.0,
-    translate=0.1,
-    scale=0.5,
-    shear=0.0,
-    flipud=0.0,
+    hsv_h=0.0138,
+    hsv_s=0.664,
+    hsv_v=0.464,
+    degrees=0.373,
+    translate=0.245,
+    scale=0.898,
+    shear=0.602,
+    flipud=0.00856,
     fliplr=0.5,
     mosaic=1.0,
-    mixup=0.0,
+    mixup=0.243,
 )
 
-training_mode = "repvgg"
+training_mode = "conv_relu"

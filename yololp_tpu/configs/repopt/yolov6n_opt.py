@@ -1,18 +1,16 @@
-# yolov6s (reference: configs/yolov6s.py)
+# repopt/yolov6n_opt (reference: configs/repopt/yolov6n_opt.py)
 model = dict(
-    type="YOLOv6s",
+    type="YOLOv6n",
     pretrained=None,
     depth_multiple=0.33,
-    width_multiple=0.5,
+    width_multiple=0.25,
     backbone=dict(
         type="EfficientRep",
         num_repeats=[1, 6, 12, 18, 6],
         out_channels=[64, 128, 256, 512, 1024],
-        fuse_P2=True,
-        cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
+        type="RepPANNeck",
         num_repeats=[12, 12, 12, 12],
         out_channels=[256, 128, 128, 256, 256, 512],
     ),
@@ -28,7 +26,7 @@ model = dict(
         out_indices=[17, 20, 23],
         strides=[8, 16, 32],
         atss_warmup_epoch=0,
-        iou_type="giou",
+        iou_type="siou",
         use_dfl=False,
         reg_max=0,
         distill_weight={"class": 1.0, "dfl": 1.0},
@@ -38,7 +36,7 @@ model = dict(
 solver = dict(
     optim="SGD",
     lr_scheduler="Cosine",
-    lr0=0.01,
+    lr0=0.02,
     lrf=0.01,
     momentum=0.937,
     weight_decay=0.0005,
@@ -61,4 +59,6 @@ data_aug = dict(
     mixup=0.0,
 )
 
-training_mode = "repvgg"
+training_mode = "repopt"
+
+scales = "./assets/yolov6n_scales.msgpack"

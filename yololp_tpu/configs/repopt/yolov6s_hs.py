@@ -1,4 +1,4 @@
-# yolov6s (reference: configs/yolov6s.py)
+# repopt/yolov6s_hs (reference: configs/repopt/yolov6s_hs.py)
 model = dict(
     type="YOLOv6s",
     pretrained=None,
@@ -8,11 +8,9 @@ model = dict(
         type="EfficientRep",
         num_repeats=[1, 6, 12, 18, 6],
         out_channels=[64, 128, 256, 512, 1024],
-        fuse_P2=True,
-        cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
+        type="RepPANNeck",
         num_repeats=[12, 12, 12, 12],
         out_channels=[256, 128, 128, 256, 256, 512],
     ),
@@ -28,7 +26,7 @@ model = dict(
         out_indices=[17, 20, 23],
         strides=[8, 16, 32],
         atss_warmup_epoch=0,
-        iou_type="giou",
+        iou_type="siou",
         use_dfl=False,
         reg_max=0,
         distill_weight={"class": 1.0, "dfl": 1.0},
@@ -61,4 +59,4 @@ data_aug = dict(
     mixup=0.0,
 )
 
-training_mode = "repvgg"
+training_mode = "hyper_search"

@@ -1,4 +1,4 @@
-# yolov6s (reference: configs/yolov6s.py)
+# repopt/yolov6s_opt_qat (reference: configs/repopt/yolov6s_opt_qat.py)
 model = dict(
     type="YOLOv6s",
     pretrained=None,
@@ -8,11 +8,9 @@ model = dict(
         type="EfficientRep",
         num_repeats=[1, 6, 12, 18, 6],
         out_channels=[64, 128, 256, 512, 1024],
-        fuse_P2=True,
-        cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
+        type="RepPANNeck",
         num_repeats=[12, 12, 12, 12],
         out_channels=[256, 128, 128, 256, 256, 512],
     ),
@@ -28,7 +26,7 @@ model = dict(
         out_indices=[17, 20, 23],
         strides=[8, 16, 32],
         atss_warmup_epoch=0,
-        iou_type="giou",
+        iou_type="siou",
         use_dfl=False,
         reg_max=0,
         distill_weight={"class": 1.0, "dfl": 1.0},
@@ -38,7 +36,7 @@ model = dict(
 solver = dict(
     optim="SGD",
     lr_scheduler="Cosine",
-    lr0=0.01,
+    lr0=0.001,
     lrf=0.01,
     momentum=0.937,
     weight_decay=0.0005,
@@ -61,4 +59,29 @@ data_aug = dict(
     mixup=0.0,
 )
 
-training_mode = "repvgg"
+training_mode = "repopt"
+
+scales = "./assets/yolov6s_scales.msgpack"
+
+ptq = dict(
+    num_bits=8,
+    calib_batches=4,
+    calib_method="histogram",       # 'max' or 'histogram'
+    histogram_amax_method="entropy",  # 'entropy', 'percentile', 'mse'
+    histogram_amax_percentile=99.99,
+    calib_output_path="./",
+    sensitive_layers_skip=False,
+    sensitive_layers_list=[
+        "detect/stem0", "detect/stem1", "detect/stem2",
+        "detect/cls_conv0", "detect/cls_conv1", "detect/cls_conv2",
+        "detect/reg_conv0", "detect/reg_conv1", "detect/reg_conv2",
+        "detect/cls_pred0", "detect/cls_pred1", "detect/cls_pred2",
+        "detect/reg_pred0", "detect/reg_pred1", "detect/reg_pred2",
+    ],
+)
+
+qat = dict(
+    calib_pt="./assets/calib.msgpack",
+    sensitive_layers_skip=False,
+    sensitive_layers_list=ptq["sensitive_layers_list"],
+)

@@ -1,20 +1,21 @@
-# yolov6s (reference: configs/yolov6s.py)
+# yolov6l (reference: configs/yolov6l.py)
 model = dict(
-    type="YOLOv6s",
+    type="YOLOv6l",
     pretrained=None,
-    depth_multiple=0.33,
-    width_multiple=0.5,
+    depth_multiple=1.0,
+    width_multiple=1.0,
     backbone=dict(
-        type="EfficientRep",
+        type="CSPBepBackbone",
         num_repeats=[1, 6, 12, 18, 6],
         out_channels=[64, 128, 256, 512, 1024],
+        csp_e=float(1) / 2,
         fuse_P2=True,
-        cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
+        type="CSPRepBiFPANNeck",
         num_repeats=[12, 12, 12, 12],
         out_channels=[256, 128, 128, 256, 256, 512],
+        csp_e=float(1) / 2,
     ),
     head=dict(
         type="EffiDeHead",
@@ -29,8 +30,8 @@ model = dict(
         strides=[8, 16, 32],
         atss_warmup_epoch=0,
         iou_type="giou",
-        use_dfl=False,
-        reg_max=0,
+        use_dfl=True,
+        reg_max=16,
         distill_weight={"class": 1.0, "dfl": 1.0},
     ),
 )
@@ -53,12 +54,12 @@ data_aug = dict(
     hsv_v=0.4,
     degrees=0.0,
     translate=0.1,
-    scale=0.5,
+    scale=0.9,
     shear=0.0,
     flipud=0.0,
     fliplr=0.5,
     mosaic=1.0,
-    mixup=0.0,
+    mixup=0.1,
 )
 
-training_mode = "repvgg"
+training_mode = "conv_silu"

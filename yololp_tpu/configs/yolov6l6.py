@@ -1,36 +1,37 @@
-# yolov6s (reference: configs/yolov6s.py)
+# yolov6l6 (reference: configs/yolov6l6.py)
 model = dict(
-    type="YOLOv6s",
+    type="YOLOv6l6",
     pretrained=None,
-    depth_multiple=0.33,
-    width_multiple=0.5,
+    depth_multiple=1.0,
+    width_multiple=1.0,
     backbone=dict(
-        type="EfficientRep",
-        num_repeats=[1, 6, 12, 18, 6],
-        out_channels=[64, 128, 256, 512, 1024],
+        type="CSPBepBackbone_P6",
+        num_repeats=[1, 6, 12, 18, 6, 6],
+        out_channels=[64, 128, 256, 512, 768, 1024],
+        csp_e=float(1) / 2,
         fuse_P2=True,
-        cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
-        num_repeats=[12, 12, 12, 12],
-        out_channels=[256, 128, 128, 256, 256, 512],
+        type="CSPRepBiFPANNeck_P6",
+        num_repeats=[12, 12, 12, 12, 12, 12],
+        out_channels=[512, 256, 128, 256, 512, 1024],
+        csp_e=float(1) / 2,
     ),
     head=dict(
         type="EffiDeHead",
-        in_channels=[128, 256, 512],
-        num_layers=3,
+        in_channels=[128, 256, 512, 1024],
+        num_layers=4,
         begin_indices=24,
         anchors=3,
         anchors_init=[[10, 13, 19, 19, 33, 23],
                       [30, 61, 59, 59, 59, 119],
                       [116, 90, 185, 185, 373, 326]],
         out_indices=[17, 20, 23],
-        strides=[8, 16, 32],
+        strides=[8, 16, 32, 64],
         atss_warmup_epoch=0,
         iou_type="giou",
-        use_dfl=False,
-        reg_max=0,
+        use_dfl=True,
+        reg_max=16,
         distill_weight={"class": 1.0, "dfl": 1.0},
     ),
 )
@@ -53,12 +54,12 @@ data_aug = dict(
     hsv_v=0.4,
     degrees=0.0,
     translate=0.1,
-    scale=0.5,
+    scale=0.9,
     shear=0.0,
     flipud=0.0,
     fliplr=0.5,
     mosaic=1.0,
-    mixup=0.0,
+    mixup=0.2,
 )
 
-training_mode = "repvgg"
+training_mode = "conv_silu"

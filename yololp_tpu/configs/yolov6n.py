@@ -1,4 +1,4 @@
-# YOLOv6n model config (reference: configs/yolov6n.py)
+# yolov6n (reference: configs/yolov6n.py)
 model = dict(
     type="YOLOv6n",
     pretrained=None,

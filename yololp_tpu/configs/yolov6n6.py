@@ -1,34 +1,34 @@
-# yolov6s (reference: configs/yolov6s.py)
+# yolov6n6 (reference: configs/yolov6n6.py)
 model = dict(
-    type="YOLOv6s",
+    type="YOLOv6n6",
     pretrained=None,
     depth_multiple=0.33,
-    width_multiple=0.5,
+    width_multiple=0.25,
     backbone=dict(
-        type="EfficientRep",
-        num_repeats=[1, 6, 12, 18, 6],
-        out_channels=[64, 128, 256, 512, 1024],
+        type="EfficientRep6",
+        num_repeats=[1, 6, 12, 18, 6, 6],
+        out_channels=[64, 128, 256, 512, 768, 1024],
         fuse_P2=True,
         cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
-        num_repeats=[12, 12, 12, 12],
-        out_channels=[256, 128, 128, 256, 256, 512],
+        type="RepBiFPANNeck6",
+        num_repeats=[12, 12, 12, 12, 12, 12],
+        out_channels=[512, 256, 128, 256, 512, 1024],
     ),
     head=dict(
         type="EffiDeHead",
-        in_channels=[128, 256, 512],
-        num_layers=3,
+        in_channels=[128, 256, 512, 1024],
+        num_layers=4,
         begin_indices=24,
         anchors=3,
         anchors_init=[[10, 13, 19, 19, 33, 23],
                       [30, 61, 59, 59, 59, 119],
                       [116, 90, 185, 185, 373, 326]],
         out_indices=[17, 20, 23],
-        strides=[8, 16, 32],
+        strides=[8, 16, 32, 64],
         atss_warmup_epoch=0,
-        iou_type="giou",
+        iou_type="siou",
         use_dfl=False,
         reg_max=0,
         distill_weight={"class": 1.0, "dfl": 1.0},
@@ -38,7 +38,7 @@ model = dict(
 solver = dict(
     optim="SGD",
     lr_scheduler="Cosine",
-    lr0=0.01,
+    lr0=0.02,
     lrf=0.01,
     momentum=0.937,
     weight_decay=0.0005,

@@ -1,32 +1,32 @@
-# yolov6s (reference: configs/yolov6s.py)
+# yolov6s6 (reference: configs/yolov6s6.py)
 model = dict(
-    type="YOLOv6s",
+    type="YOLOv6s6",
     pretrained=None,
     depth_multiple=0.33,
     width_multiple=0.5,
     backbone=dict(
-        type="EfficientRep",
-        num_repeats=[1, 6, 12, 18, 6],
-        out_channels=[64, 128, 256, 512, 1024],
+        type="EfficientRep6",
+        num_repeats=[1, 6, 12, 18, 6, 6],
+        out_channels=[64, 128, 256, 512, 768, 1024],
         fuse_P2=True,
         cspsppf=True,
     ),
     neck=dict(
-        type="RepBiFPANNeck",
-        num_repeats=[12, 12, 12, 12],
-        out_channels=[256, 128, 128, 256, 256, 512],
+        type="RepBiFPANNeck6",
+        num_repeats=[12, 12, 12, 12, 12, 12],
+        out_channels=[512, 256, 128, 256, 512, 1024],
     ),
     head=dict(
         type="EffiDeHead",
-        in_channels=[128, 256, 512],
-        num_layers=3,
+        in_channels=[128, 256, 512, 1024],
+        num_layers=4,
         begin_indices=24,
         anchors=3,
         anchors_init=[[10, 13, 19, 19, 33, 23],
                       [30, 61, 59, 59, 59, 119],
                       [116, 90, 185, 185, 373, 326]],
         out_indices=[17, 20, 23],
-        strides=[8, 16, 32],
+        strides=[8, 16, 32, 64],
         atss_warmup_epoch=0,
         iou_type="giou",
         use_dfl=False,
