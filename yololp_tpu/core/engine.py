@@ -72,9 +72,26 @@ class Trainer:
             nads=self.nads, use_dfl=bool(head["use_dfl"]),
             reg_max=int(head["reg_max"]), iou_type=head["iou_type"])
         solver = cfg["solver"]
+        weight_decay = solver["weight_decay"]
+
+        # ---- RepOpt stage-2 (engine.py:67-70 + RepOptimizer.py) ----
+        grad_masks = None
+        if cfg.get("training_mode") == "repopt" and cfg.get("scales"):
+            from yololp_tpu.solver.repopt import (
+                gradient_masks, load_scales, reinitialize)
+
+            scales = load_scales(cfg["scales"])
+            params = reinitialize(self.state.params, scales,
+                                  jax.random.PRNGKey(getattr(args, "seed", 0)))
+            self.state = self.state._replace(params=params, ema_params=params)
+            grad_masks = gradient_masks(params, scales)
+            # RepOptimizer.get_optimizer_param scales wd by the effective batch
+            accumulate = max(1, round(64 / self.batch_size))
+            weight_decay = weight_decay * self.batch_size * accumulate / 64
+
         self.solver_cfg = SolverConfig(
             lr0=solver["lr0"], lrf=solver["lrf"], momentum=solver["momentum"],
-            weight_decay=solver["weight_decay"],
+            weight_decay=weight_decay,
             warmup_epochs=solver["warmup_epochs"],
             warmup_momentum=solver["warmup_momentum"],
             warmup_bias_lr=solver["warmup_bias_lr"],
@@ -82,7 +99,7 @@ class Trainer:
             steps_per_epoch=self.steps_per_epoch)
 
         step_fn = make_train_step(self.model, self.loss_cfg, self.solver_cfg,
-                                  self.batch_size)
+                                  self.batch_size, grad_masks=grad_masks)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -58,9 +58,10 @@ def init_train_state(variables) -> TrainState:
 
 
 def make_train_step(model, loss_cfg: LossConfig, solver_cfg: SolverConfig,
-                    batch_size: int):
+                    batch_size: int, grad_masks=None):
     """Returns train_step(state, images, gt_labels, gt_mask) ->
-    (state, total_loss, loss_items). images: (B, H, W, 3) uint8."""
+    (state, total_loss, loss_items). images: (B, H, W, 3) uint8.
+    grad_masks: optional RepOpt per-weight gradient-mask tree."""
 
     def train_step(state: TrainState, images, gt_labels, gt_mask):
         def loss_fn(params):
@@ -89,7 +90,7 @@ def make_train_step(model, loss_cfg: LossConfig, solver_cfg: SolverConfig,
             params, vel, buf, emap, emas, eupd = operand
             new_params, new_vel = sgd_apply(
                 params, buf, vel, labels, lr_w, lr_b, mom,
-                solver_cfg.weight_decay)
+                solver_cfg.weight_decay, grad_masks=grad_masks)
             eupd = eupd + 1
             new_emap = ema_update(emap, new_params, eupd)
             new_emas = ema_update(emas, new_stats, eupd)

@@ -96,12 +96,15 @@ def init_momentum(params):
 
 
 def sgd_apply(params, grads, momentum_buf, labels, lr_w, lr_b, mom,
-              weight_decay: float):
-    """Torch-SGD step: d = g (+ wd*p for 'w'); v = mom*v + d;
-    nesterov step = d + mom*v; p -= lr * step."""
+              weight_decay: float, grad_masks=None):
+    """Torch-SGD step: d = g*mask (+ wd*p for 'w'); v = mom*v + d;
+    nesterov step = d + mom*v; p -= lr * step. grad_masks implements the
+    RepOpt per-weight mask (RepOptimizer.py:159-195)."""
 
-    def upd(p, g, v, lab):
+    def upd(p, g, v, lab, m):
         g = g.astype(jnp.float32)
+        if m is not None:
+            g = g * m
         d = g + (weight_decay * p if lab == "w" else 0.0)
         v_new = mom * v + d
         step = d + mom * v_new  # nesterov
@@ -112,7 +115,10 @@ def sgd_apply(params, grads, momentum_buf, labels, lr_w, lr_b, mom,
     flat_g = treedef.flatten_up_to(grads)
     flat_v = treedef.flatten_up_to(momentum_buf)
     flat_l = treedef.flatten_up_to(labels)
-    out = [upd(p, g, v, l) for p, g, v, l in zip(flat_p, flat_g, flat_v, flat_l)]
+    flat_m = (treedef.flatten_up_to(grad_masks) if grad_masks is not None
+              else [None] * len(flat_p))
+    out = [upd(p, g, v, l, m)
+           for p, g, v, l, m in zip(flat_p, flat_g, flat_v, flat_l, flat_m)]
     new_p = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
     new_v = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
     return new_p, new_v
