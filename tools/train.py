@@ -45,6 +45,12 @@ def get_args_parser():
     p.add_argument("--synthetic-data", action="store_true",
                    help="generate a small synthetic dataset (smoke/demo)")
     p.add_argument("--synthetic-n", type=int, default=64)
+    p.add_argument("--quant", action="store_true",
+                   help="QAT training (requires a calib amax file)")
+    p.add_argument("--calib", action="store_true",
+                   help="with --quant: run PTQ calibration then exit")
+    p.add_argument("--calib-pt", type=str, default=None,
+                   help="calibration amax json for QAT (overrides cfg.qat)")
     return p
 
 
@@ -87,6 +93,13 @@ def main(args=None):
             "global batch size must divide the device count"
 
     trainer = Trainer(args, cfg, data_dict, device_mesh=mesh)
+    if args.quant and args.calib:
+        if args.resume:
+            trainer.resume(args.resume if isinstance(args.resume, str) else
+                           osp.join(args.save_dir, "weights",
+                                    "last_ckpt.msgpack"))
+        trainer.calibrate()
+        return
     resume_path = None
     if args.resume:
         resume_path = (args.resume if isinstance(args.resume, str) else

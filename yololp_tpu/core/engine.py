@@ -98,8 +98,21 @@ class Trainer:
             lr_scheduler=solver["lr_scheduler"], epochs=self.epochs,
             steps_per_epoch=self.steps_per_epoch)
 
+        # ---- QAT (engine.py:558-573 quant_setup / qat flow) ----
+        quant_amax, quant_skip = None, ("proj_conv",)
+        if getattr(args, "quant", False) and not getattr(args, "calib", False):
+            from yololp_tpu.quant.quantize import load_amax
+
+            qat_cfg = cfg.get("qat") or {}
+            calib_path = getattr(args, "calib_pt", None) or qat_cfg.get("calib_pt")
+            assert calib_path, "QAT requires a calibration amax file (--calib first)"
+            quant_amax = load_amax(calib_path)
+            if qat_cfg.get("sensitive_layers_skip"):
+                quant_skip = quant_skip + tuple(qat_cfg["sensitive_layers_list"])
+
         step_fn = make_train_step(self.model, self.loss_cfg, self.solver_cfg,
-                                  self.batch_size, grad_masks=grad_masks)
+                                  self.batch_size, grad_masks=grad_masks,
+                                  quant_amax=quant_amax, quant_skip=quant_skip)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -182,6 +195,41 @@ class Trainer:
             batch_size=self.batch_size, img_size=self.img_size,
             workers=int(self.args.workers))
         return results, speed
+
+    # ---- PTQ calibration (engine.py:539-556 calibrate) ----
+
+    def calibrate(self):
+        """Run PTQ calibration over cfg.ptq.calib_batches batches; saves the
+        per-conv amax json + a calib checkpoint; returns the amax dict."""
+        from yololp_tpu.quant.quantize import calibrate as _calibrate, save_amax
+
+        ptq = self.cfg.get("ptq") or {}
+        n_batches = int(ptq.get("calib_batches", 4))
+        method = ("max" if ptq.get("calib_method", "max") == "max"
+                  else ptq.get("histogram_amax_method", "entropy"))
+        skip = ("proj_conv",)
+        if ptq.get("sensitive_layers_skip"):
+            skip = skip + tuple(ptq.get("sensitive_layers_list", ()))
+
+        variables = fuse_variables_jit(
+            {"params": self.state.ema_params,
+             "batch_stats": self.state.ema_stats})
+        deploy = Model(config=self.cfg, npro=self.npro, nalp=self.nalp,
+                       nads=self.nads, deploy=True, dtype=self.model.dtype)
+        batches = []
+        for imgs, _, _, _, _ in self.train_loader:
+            batches.append(imgs)
+            if len(batches) >= n_batches:
+                break
+        amax = _calibrate(deploy, variables, batches, method=method,
+                          percentile=float(ptq.get("histogram_amax_percentile",
+                                                    99.99)),
+                          skip_substrings=skip)
+        out = osp.join(self.save_dir, "weights", "calib_amax.json")
+        save_amax(amax, out)
+        self.save("calib_ckpt.msgpack", epoch=-1)
+        print(f"PTQ calibration ({method}) over {len(batches)} batches -> {out}")
+        return amax
 
     # ---- main loop ----
 

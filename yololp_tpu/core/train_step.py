@@ -58,17 +58,31 @@ def init_train_state(variables) -> TrainState:
 
 
 def make_train_step(model, loss_cfg: LossConfig, solver_cfg: SolverConfig,
-                    batch_size: int, grad_masks=None):
+                    batch_size: int, grad_masks=None, quant_amax=None,
+                    quant_skip=()):
     """Returns train_step(state, images, gt_labels, gt_mask) ->
     (state, total_loss, loss_items). images: (B, H, W, 3) uint8.
-    grad_masks: optional RepOpt per-weight gradient-mask tree."""
+    grad_masks: optional RepOpt per-weight gradient-mask tree.
+    quant_amax: optional {conv_path: amax} dict enabling QAT — conv inputs
+    and kernels are fake-quantized (STE) inside the loss."""
 
     def train_step(state: TrainState, images, gt_labels, gt_mask):
         def loss_fn(params):
             x = images.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, mutable=["batch_stats"])
+            if quant_amax is not None:
+                from yololp_tpu.quant.quantize import (
+                    quantize_weights, quantized_apply)
+
+                q_params = quantize_weights(params, skip_substrings=quant_skip)
+                out, mutated = quantized_apply(
+                    model, {"params": q_params,
+                            "batch_stats": state.batch_stats},
+                    x, quant_amax, skip_substrings=quant_skip, train=True,
+                    mutable=["batch_stats"])
+            else:
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x, train=True, mutable=["batch_stats"])
             total, items = compute_loss(out, gt_labels, gt_mask, loss_cfg)
             return total, (items, mutated["batch_stats"])
 
