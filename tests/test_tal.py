@@ -1,0 +1,77 @@
+"""TAL assigner tests: structure, background handling, and loss integration."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from yololp_tpu.assigners.tal import tal_assign
+from yololp_tpu.losses.loss import LossConfig, compute_loss
+from yololp_tpu.models.effidehead import HeadTrainOutput
+from yololp_tpu.ops.anchors import anchors_train
+
+rng = np.random.default_rng(21)
+IMG = 160
+STRIDES = (8, 16, 32)
+
+
+def n_anchors():
+    return sum((IMG // s) ** 2 for s in STRIDES)
+
+
+def test_tal_assigns_center_anchor():
+    a = n_anchors()
+    _, pts, _, _ = anchors_train((IMG, IMG), STRIDES)
+    bsz, m = 1, 2
+    gt_pro = np.full((bsz, m), -1, np.float32)
+    gt_alp = np.full((bsz, m), -1, np.float32)
+    gt_ads = np.full((bsz, m, 6), -1, np.float32)
+    gt_bboxes = np.zeros((bsz, m, 4), np.float32)
+    gt_corners = np.zeros((bsz, m, 8), np.float32)
+    mask = np.zeros((bsz, m, 1), np.float32)
+    gt_pro[0, 0], gt_alp[0, 0] = 5, 3
+    gt_ads[0, 0] = [1, 2, 3, 4, 5, 36]
+    gt_bboxes[0, 0] = [40, 40, 120, 90]
+    mask[0, 0] = 1
+
+    scores = np.full((bsz, a, 31), 0.5, np.float32)
+    # preds: perfect box at every anchor near the gt
+    pd = np.tile(gt_bboxes[0, 0], (bsz, a, 1)).astype(np.float32)
+
+    res = tal_assign(jnp.asarray(scores), jnp.asarray(pd), pts,
+                     jnp.asarray(gt_pro), jnp.asarray(gt_alp),
+                     jnp.asarray(gt_ads), jnp.asarray(gt_bboxes),
+                     jnp.asarray(gt_corners), jnp.asarray(mask))
+    fg = np.asarray(res.fg_mask)
+    assert fg.sum() > 0
+    # assigned anchors carry gt classes; all others are background
+    tp = np.asarray(res.target_pro)
+    assert set(np.unique(tp[fg])) == {5}
+    assert set(np.unique(tp[~fg])) == {31}
+    tads = np.asarray(res.target_ads)
+    assert (tads[fg][:, 5] == 36).all()
+    assert (tads[~fg] == 37).all()
+    # scores normalized: max <= 1, positive where fg
+    ps = np.asarray(res.target_pro_scores)
+    assert ps.max() <= 1.0 + 1e-5 and ps[fg].sum() > 0
+
+
+def test_loss_with_tal_assigner_finite():
+    a = n_anchors()
+    sig = lambda s: rng.uniform(0.01, 0.99, s).astype(np.float32)
+    out = HeadTrainOutput(None, jnp.asarray(sig((2, a, 31))),
+                          jnp.asarray(sig((2, a, 24))),
+                          jnp.asarray(sig((2, a, 6, 37))),
+                          jnp.asarray(rng.uniform(0, 4, (2, a, 4)).astype(np.float32)),
+                          jnp.asarray(rng.uniform(-2, 2, (2, a, 8)).astype(np.float32)))
+    labels = np.zeros((2, 3, 20), np.float32)
+    labels[..., :8] = -1
+    mask = np.zeros((2, 3), np.float32)
+    labels[0, 0, :8] = [1, 2, 3, 4, 5, 6, 7, 36]
+    labels[0, 0, 8:12] = [0.5, 0.5, 0.25, 0.12]
+    labels[0, 0, 12:20] = [0.375, 0.44, 0.375, 0.56, 0.625, 0.56, 0.625, 0.44]
+    mask[0, 0] = 1
+    cfg = LossConfig(img_size=(IMG, IMG), strides=STRIDES, assigner="tal")
+    total, items = compute_loss(out, jnp.asarray(labels), jnp.asarray(mask), cfg)
+    assert np.isfinite(float(total))
+    assert np.isfinite(np.asarray(items)).all()

@@ -82,6 +82,10 @@ class LossConfig(NamedTuple):
     grid_cell_size: float = 5.0
     grid_cell_offset: float = 0.5
     topk: int = 9
+    assigner: str = "atss"   # 'atss' | 'tal' (fully adapted TAL alternative)
+    tal_topk: int = 13
+    tal_alpha: float = 1.0
+    tal_beta: float = 6.0
     w_class: float = 3.0
     w_iou: float = 2.5
     w_corner: float = 1.0
@@ -128,10 +132,21 @@ def compute_loss(outputs: HeadTrainOutput, gt_labels: jnp.ndarray,
     pred_corners = dist2cor(outputs.cor, anchor_points_s)
 
     # ---- assignment (no gradient) ----
-    res = atss_assign(
-        anchors, tuple(n_list), gt_pro, gt_alp, gt_ads, gt_bboxes, gt_corners,
-        mask_gt, jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
-        topk=cfg.topk, npro=cfg.npro, nalp=cfg.nalp, nads=cfg.nads)
+    if cfg.assigner == "tal":
+        from yololp_tpu.assigners.tal import tal_assign
+
+        res = tal_assign(
+            jax.lax.stop_gradient(outputs.pro),
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
+            anchor_points, gt_pro, gt_alp, gt_ads, gt_bboxes, gt_corners,
+            mask_gt, topk=cfg.tal_topk, npro=cfg.npro, nalp=cfg.nalp,
+            nads=cfg.nads, alpha=cfg.tal_alpha, beta=cfg.tal_beta)
+    else:
+        res = atss_assign(
+            anchors, tuple(n_list), gt_pro, gt_alp, gt_ads, gt_bboxes,
+            gt_corners, mask_gt,
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
+            topk=cfg.topk, npro=cfg.npro, nalp=cfg.nalp, nads=cfg.nads)
     fg = res.fg_mask.astype(jnp.float32)                         # (B, A)
 
     target_bboxes = res.target_bboxes / stride_tensor
