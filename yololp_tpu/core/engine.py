@@ -247,6 +247,14 @@ class Trainer:
             mean_items = np.zeros(7)
             n_steps = 0
             for imgs, labels, masks, _, _ in self.train_loader:
+                if n_steps == 0 and epoch % 10 == 0:
+                    # train-batch visualization (engine.py:449 write_tbimg)
+                    from yololp_tpu.utils.visualize import save_train_batch_vis
+
+                    save_train_batch_vis(
+                        imgs, labels, masks,
+                        osp.join(self.save_dir, "vis",
+                                 f"train_batch_e{epoch}.jpg"))
                 self.state, total, items = self.step_fn(
                     self.state, jnp.asarray(imgs), jnp.asarray(labels),
                     jnp.asarray(masks))
