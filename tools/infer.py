@@ -38,6 +38,8 @@ def get_args_parser():
     parser.add_argument("--name", default="exp")
     parser.add_argument("--half", action="store_true", default=True,
                         help="bf16 compute")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help=">1 enables the batched throughput path")
     return parser
 
 
@@ -56,10 +58,15 @@ def main(args=None):
                       img_size=img_size, half=args.half,
                       conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                       max_det=args.max_det)
-    inferer.warmup()
     save_dir = osp.join(args.project, args.name)
-    results = inferer.infer(save_dir, save_txt=args.save_txt,
-                            save_img=not args.not_save_img)
+    if args.batch_size > 1:
+        results = inferer.infer_batched(save_dir, batch_size=args.batch_size,
+                                        save_txt=args.save_txt,
+                                        save_img=not args.not_save_img)
+    else:
+        inferer.warmup()
+        results = inferer.infer(save_dir, save_txt=args.save_txt,
+                                save_img=not args.not_save_img)
     for path, dets in results:
         strings = [inferer.plate_text(d) for d in dets]
         print(f"{path}: {len(dets)} plate(s) {strings}")
