@@ -109,3 +109,40 @@ def export_stablehlo(config_name_or_path: str, weights: Optional[str],
     except (ImportError, AttributeError):
         pass
     return out_path, meta_path
+
+
+def export_saved_model(config_name_or_path: str, weights: Optional[str],
+                       out_dir: str, batch: int = 1, img_size: int = 640,
+                       end2end: bool = True, conf_thres: float = 0.4,
+                       iou_thres: float = 0.45, max_det: int = 300,
+                       half: bool = False) -> str:
+    """TensorFlow SavedModel export via jax2tf — the analogue of the
+    reference's ONNX/OpenVINO exports (deploy/ONNX/export_onnx.py,
+    deploy/OpenVINO/export_openvino.py) for TF-serving-style consumers."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    config = (Config.fromfile(config_name_or_path)
+              if config_name_or_path.endswith(".py")
+              else Config.named(config_name_or_path))
+    if weights:
+        variables = load_inference_variables(weights)
+    else:
+        _, train_vars = build_model(
+            config, img_size=(64, 64),
+            dtype=jnp.bfloat16 if half else jnp.float32)
+        variables = fuse_variables_jit(train_vars)
+
+    fn = build_export_fn(config, variables, end2end=end2end,
+                         conf_thres=conf_thres, iou_thres=iou_thres,
+                         max_det=max_det, half=half)
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        input_signature=[tf.TensorSpec((batch, img_size, img_size, 3),
+                                       tf.uint8, name="images")],
+        autograph=False)
+    module = tf.Module()
+    module.serve = tf_fn
+    tf.saved_model.save(module, out_dir,
+                        signatures={"serving_default": tf_fn})
+    return out_dir
