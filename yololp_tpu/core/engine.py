@@ -127,6 +127,7 @@ class Trainer:
             self.step_fn = jax.jit(step_fn)
 
         self.best_ap = -1.0
+        self.best_stop_aug_ap = -1.0
         self.log_path = osp.join(self.save_dir, "train_log.jsonl")
         self.tb = self._try_tensorboard()
 
@@ -280,8 +281,15 @@ class Trainer:
                 if ap > self.best_ap:
                     self.best_ap = ap
                     self.save("best_ckpt.msgpack", epoch)
+                # best within the stop-aug window (engine.py:191-196)
+                if epoch >= stop_aug_epoch and ap > self.best_stop_aug_ap:
+                    self.best_stop_aug_ap = ap
+                    self.save("best_stop_aug_ckpt.msgpack", epoch)
             else:
                 self.save("last_ckpt.msgpack", epoch)
+            if getattr(self.args, "save_ckpt_on_last_n_epoch", 0) and \
+                    epoch >= self.epochs - self.args.save_ckpt_on_last_n_epoch:
+                self.save(f"{epoch}_ckpt.msgpack", epoch)
             self._log(record)
             print(f"epoch {epoch}: " + " ".join(
                 f"{k.split('/')[-1]}={v:.4f}" for k, v in record.items()
