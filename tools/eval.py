@@ -34,11 +34,42 @@ def get_args_parser():
     p.add_argument("--letterbox_return_int", action="store_true")
     p.add_argument("--synthetic-data", type=str, default=None,
                    help="path to a make_synthetic_dataset root (smoke/demo)")
+    p.add_argument("--eval-params", type=str, default=None,
+                   help="experiment config with eval_params overrides "
+                        "(e.g. yololp_tpu/configs/experiment/eval_640_repro.py)")
+    p.add_argument("--model-name", type=str, default="default",
+                   help="key into eval_params (reference tools/eval.py:51)")
     return p
+
+
+def apply_eval_params(args):
+    """Per-model eval-knob overrides (reference tools/eval.py:51-67)."""
+    if not args.eval_params:
+        return args
+    from yololp_tpu.utils.config import Config
+
+    cfg = Config.fromfile(args.eval_params)
+    params = cfg.get("eval_params") or {}
+    entry = params.get(args.model_name) or params.get("default") or {}
+    for key, attr in (("img_size", "img_size"),
+                      ("test_load_size", "test_load_size"),
+                      ("letterbox_return_int", "letterbox_return_int"),
+                      ("conf_thres", "conf_thres"),
+                      ("iou_thres", "iou_thres")):
+        if key in entry:
+            v = entry[key]
+            # reference semantics: a 2-list is [train_override, standalone]
+            if isinstance(v, (list, tuple)) and len(v) == 2:
+                v = v[1]
+            setattr(args, attr, v)
+    return args
 
 
 def main(args=None):
     args = get_args_parser().parse_args(args)
+    args.test_load_size = getattr(args, "test_load_size", None)
+    args.letterbox_return_int = getattr(args, "letterbox_return_int", False)
+    args = apply_eval_params(args)
     if args.task == "speed":  # speed task thresholds (evaler.py:592)
         args.conf_thres = max(args.conf_thres, 0.4)
     if args.device == "cpu":
