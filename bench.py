@@ -24,7 +24,7 @@ def main():
     from yololp_tpu.ops.nms import non_max_suppression
     from yololp_tpu.utils.config import Config
 
-    batch = 32
+    batch = 128
     img = 640
     cfg = Config.named("yololps")
     _, train_vars = build_model(cfg, img_size=(64, 64), dtype=jnp.bfloat16)
@@ -55,7 +55,7 @@ def main():
     ips = batch * iters / dt
     per_chip_target = 5000.0 / 8.0
     print(json.dumps({
-        "metric": "yololps 640x640 e2e inference (fwd+decode+NMS, bf16, b32) per chip",
+        "metric": "yololps 640x640 e2e inference (fwd+decode+NMS, bf16, b128) per chip",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / per_chip_target, 3),
