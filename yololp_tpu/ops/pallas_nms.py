@@ -1,12 +1,16 @@
 """Pallas TPU kernel: exact greedy NMS suppression.
 
-The XLA-level greedy mask (ops/nms.greedy_nms_mask) runs a 16-iteration
-fixpoint over a (B, K, K) suppression matrix — ~11ms for B=32, K=512 on
-v5e, 37% of e2e inference. This kernel computes the EXACT sequential greedy
-result in one pallas_call: per batch item, the IoU matrix is built once in
-VMEM and a K-step lax.fori_loop walks rows, clearing suppressed candidates
-with single-row VPU ops. All state stays in VMEM; no HBM round-trips inside
-the loop.
+Computes the EXACT sequential greedy result in one pallas_call: per batch
+item, the IoU matrix is built once in VMEM and a K-step lax.fori_loop walks
+rows, clearing suppressed candidates with single-row VPU ops.
+
+Measured on v5e (B=128, K=256): 6.3ms vs 2.0ms for the XLA 16-iteration
+fixpoint (ops/nms.greedy_nms_mask) — the sequential K-step loop serializes
+where XLA's batched fixpoint iterations parallelize, so the XLA path stays
+the default and this kernel is the guaranteed-exact alternative (the
+fixpoint is exact up to suppression chains deeper than its iteration
+count). Profiling showed the real NMS cost is candidate top_k + compaction,
+not the greedy mask.
 
 Inputs are score-sorted boxes (the caller top-k's first). Returns the keep
 mask as float32 (1.0 = kept).
