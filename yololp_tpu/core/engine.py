@@ -294,4 +294,13 @@ class Trainer:
             print(f"epoch {epoch}: " + " ".join(
                 f"{k.split('/')[-1]}={v:.4f}" for k, v in record.items()
                 if isinstance(v, float)))
+
+        # end-of-training strip (checkpoint.py:46 strip_optimizer): a final
+        # EMA-only, optimizer-free checkpoint alongside the resumable ones
+        from yololp_tpu.utils.checkpoint import strip_checkpoint
+
+        last = osp.join(self.save_dir, "weights", "last_ckpt.msgpack")
+        if osp.isfile(last):
+            strip_checkpoint(last, osp.join(self.save_dir, "weights",
+                                            "final_ckpt.msgpack"))
         return self.best_ap
