@@ -189,12 +189,22 @@ class Trainer:
         variables = fuse_variables_jit(
             {"params": self.state.ema_params,
              "batch_stats": self.state.ema_stats})
-        eval_model = Model(config=self.cfg, npro=self.npro, nalp=self.nalp,
-                           nads=self.nads, deploy=True, dtype=self.model.dtype)
+        if not hasattr(self, "_eval_cache"):
+            from yololp_tpu.core.evaler import Evaler
+
+            eval_model = Model(config=self.cfg, npro=self.npro,
+                               nalp=self.nalp, nads=self.nads, deploy=True,
+                               dtype=self.model.dtype)
+            ev = Evaler(self.data_dict, self.batch_size, self.img_size,
+                        workers=int(self.args.workers))
+            loader, _ = ev.init_data("val")
+            # variables-as-argument: ONE compiled eval program for all epochs
+            run_fn = ev.make_infer_fn(eval_model)
+            self._eval_cache = (eval_model, ev, loader, run_fn)
+        eval_model, ev, loader, run_fn = self._eval_cache
         results, speed = run_eval(
-            eval_model, variables, self.data_dict,
-            batch_size=self.batch_size, img_size=self.img_size,
-            workers=int(self.args.workers))
+            eval_model, variables, self.data_dict, evaler=ev, loader=loader,
+            run_fn=run_fn)
         return results, speed
 
     # ---- PTQ calibration (engine.py:539-556 calibrate) ----

@@ -53,18 +53,24 @@ class Evaler:
             drop_last=False, task="val")
         return loader, dataset
 
-    def make_infer_fn(self, model, variables):
+    def make_infer_fn(self, model, variables=None):
+        """Returns run(images). When `variables` is None, returns
+        run(variables, images) instead — variables-as-argument lets the
+        Trainer reuse ONE compiled program across epochs (a closure over
+        fresh params would recompile every eval)."""
         conf, iou, md = self.conf_thres, self.iou_thres, self.max_det
 
         @jax.jit
-        def run(images_u8):
+        def run_v(vars_, images_u8):
             x = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
-            pred = model.apply(variables, x, train=False)
+            pred = model.apply(vars_, x, train=False)
             return non_max_suppression(pred.astype(jnp.float32),
                                        conf_thres=conf, iou_thres=iou,
                                        max_det=md)
 
-        return run
+        if variables is None:
+            return run_v
+        return lambda images_u8: run_v(variables, images_u8)
 
     def predict(self, run_fn, dataloader) -> Tuple[List, List]:
         """Returns per-image (dets (n, 28), targets (m, 20) in letterboxed
@@ -201,12 +207,21 @@ class Evaler:
 
 def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
              conf_thres=0.03, iou_thres=0.65, half=True, workers=4,
-             eval_hyp=None, task="val"):
-    """One-call eval (mirrors tools/eval.py run): returns (results, speed)."""
-    ev = Evaler(data_dict, batch_size, img_size, conf_thres, iou_thres,
-                half=half, workers=workers, eval_hyp=eval_hyp)
-    loader, _ = ev.init_data(task)
-    run_fn = ev.make_infer_fn(model, variables)
-    preds, targets = ev.predict(run_fn, loader)
+             eval_hyp=None, task="val", run_fn=None, loader=None,
+             evaler=None):
+    """One-call eval (mirrors tools/eval.py run): returns (results, speed).
+    Pass prebuilt (evaler, loader, run_fn taking (variables, images)) to
+    reuse one compiled program across repeated evals."""
+    ev = evaler or Evaler(data_dict, batch_size, img_size, conf_thres,
+                          iou_thres, half=half, workers=workers,
+                          eval_hyp=eval_hyp)
+    ev.speed_result = np.zeros(4)
+    if loader is None:
+        loader, _ = ev.init_data(task)
+    if run_fn is None:
+        fn = ev.make_infer_fn(model, variables)
+    else:
+        fn = lambda images: run_fn(variables, images)
+    preds, targets = ev.predict(fn, loader)
     results = ev.eval(preds, targets)
     return results, ev.eval_speed()
