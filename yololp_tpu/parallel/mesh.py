@@ -60,6 +60,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_spatial_mesh(n_data: int, n_spatial: int) -> Mesh:
+    """2-D (data, spatial) mesh: batch sharded over 'data', the image height
+    dim over 'spatial'. XLA's SPMD partitioner inserts the conv halo
+    exchanges automatically — the giant-input scaling axis SURVEY.md §2.13
+    proposes (the reference has no equivalent; it is DP-only)."""
+    devices = np.asarray(jax.devices()[: n_data * n_spatial])
+    return Mesh(devices.reshape(n_data, n_spatial), ("data", "spatial"))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) images: batch over 'data', height over 'spatial'."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def shard_dataset_indices(n_items: int, shuffle_seed: int = 0,
                           epoch: int = 0) -> np.ndarray:
     """Per-host index shard (replaces DistributedSampler, data_load.py:65).
