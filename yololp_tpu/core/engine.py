@@ -255,8 +255,8 @@ class Trainer:
             if epoch == stop_aug_epoch:
                 self.train_dataset.disable_heavy_aug()
             t0 = time.time()
-            mean_items = np.zeros(7)
-            n_steps = 0
+            items_sum = None  # accumulated ON DEVICE: a host read per step
+            n_steps = 0       # would sync the async dispatch pipeline
             for imgs, labels, masks, _, _ in self.train_loader:
                 if n_steps == 0 and epoch % 10 == 0:
                     # train-batch visualization (engine.py:449 write_tbimg)
@@ -269,9 +269,10 @@ class Trainer:
                 self.state, total, items = self.step_fn(
                     self.state, jnp.asarray(imgs), jnp.asarray(labels),
                     jnp.asarray(masks))
-                mean_items += np.asarray(items)
+                items_sum = items if items_sum is None else items_sum + items
                 n_steps += 1
-            mean_items /= max(n_steps, 1)
+            mean_items = (np.asarray(items_sum) if items_sum is not None
+                          else np.zeros(7)) / max(n_steps, 1)
             record = {"epoch": epoch, "step": int(self.state.step),
                       "epoch_time_s": round(time.time() - t0, 1),
                       **{f"train/{k}": float(v)
