@@ -52,6 +52,11 @@ def get_args_parser():
                    help="with --quant: run PTQ calibration then exit")
     p.add_argument("--calib-pt", type=str, default=None,
                    help="calibration amax json for QAT (overrides cfg.qat)")
+    p.add_argument("--distill", action="store_true",
+                   help="LP-head knowledge distillation (needs --teacher-ckpt)")
+    p.add_argument("--teacher-ckpt", type=str, default=None)
+    p.add_argument("--teacher-conf", type=str, default=None,
+                   help="teacher model config (defaults to --conf-file)")
     return p
 
 

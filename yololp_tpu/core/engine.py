@@ -110,9 +110,28 @@ class Trainer:
             if qat_cfg.get("sensitive_layers_skip"):
                 quant_skip = quant_skip + tuple(qat_cfg["sensitive_layers_list"])
 
+        # ---- LP knowledge distillation (designed new — the reference's
+        # distill path cannot run against the LP head, SURVEY §2.11) ----
+        teacher = None
+        if getattr(args, "distill", False):
+            from yololp_tpu.utils.checkpoint import load_checkpoint_raw
+
+            t_cfg_name = getattr(args, "teacher_conf", None) or args.conf_file
+            t_cfg = (Config.fromfile(t_cfg_name) if t_cfg_name.endswith(".py")
+                     else Config.named(t_cfg_name))
+            t_model = Model(config=t_cfg, npro=self.npro, nalp=self.nalp,
+                            nads=self.nads, deploy=False, dtype=dtype)
+            t_ckpt = load_checkpoint_raw(args.teacher_ckpt)
+            t_vars = t_ckpt.get("ema") or t_ckpt["variables"]
+            teacher = (t_model, t_vars)
+
         step_fn = make_train_step(self.model, self.loss_cfg, self.solver_cfg,
                                   self.batch_size, grad_masks=grad_masks,
-                                  quant_amax=quant_amax, quant_skip=quant_skip)
+                                  quant_amax=quant_amax, quant_skip=quant_skip,
+                                  teacher=teacher,
+                                  distill_cfg=dict(
+                                      cfg["model"]["head"].get("distill_weight")
+                                      or {}))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

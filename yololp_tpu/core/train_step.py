@@ -59,12 +59,15 @@ def init_train_state(variables) -> TrainState:
 
 def make_train_step(model, loss_cfg: LossConfig, solver_cfg: SolverConfig,
                     batch_size: int, grad_masks=None, quant_amax=None,
-                    quant_skip=()):
+                    quant_skip=(), teacher=None, distill_cfg=None):
     """Returns train_step(state, images, gt_labels, gt_mask) ->
     (state, total_loss, loss_items). images: (B, H, W, 3) uint8.
     grad_masks: optional RepOpt per-weight gradient-mask tree.
     quant_amax: optional {conv_path: amax} dict enabling QAT — conv inputs
-    and kernels are fake-quantized (STE) inside the loss."""
+    and kernels are fake-quantized (STE) inside the loss.
+    teacher: optional (teacher_model, teacher_variables) enabling LP-head
+    knowledge distillation; distill_cfg: {'class': w, 'dfl': w,
+    'temperature': T} (configs' distill_weight schema)."""
 
     def train_step(state: TrainState, images, gt_labels, gt_mask):
         def loss_fn(params):
@@ -83,7 +86,24 @@ def make_train_step(model, loss_cfg: LossConfig, solver_cfg: SolverConfig,
                 out, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     x, train=True, mutable=["batch_stats"])
-            total, items = compute_loss(out, gt_labels, gt_mask, loss_cfg)
+            if teacher is not None:
+                from yololp_tpu.losses.distill import distill_loss
+
+                total, items, fg = compute_loss(out, gt_labels, gt_mask,
+                                                loss_cfg, with_fg=True)
+                t_model, t_vars = teacher
+                # train=True for the 11-tuple output; BN mutations discarded
+                t_out, _ = t_model.apply(t_vars, x, train=True,
+                                         mutable=["batch_stats"])
+                dcfg = distill_cfg or {}
+                cls_kd, dfl_kd = distill_loss(
+                    out, t_out, fg,
+                    temperature=float(dcfg.get("temperature", 20.0)),
+                    use_dfl=loss_cfg.use_dfl, reg_max=loss_cfg.reg_max)
+                total = (total + float(dcfg.get("class", 1.0)) * cls_kd
+                         + float(dcfg.get("dfl", 1.0)) * dfl_kd)
+            else:
+                total, items = compute_loss(out, gt_labels, gt_mask, loss_cfg)
             return total, (items, mutated["batch_stats"])
 
         (total, (items, new_stats)), grads = jax.value_and_grad(

@@ -92,9 +92,9 @@ class LossConfig(NamedTuple):
     w_dfl: float = 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "with_fg"))
 def compute_loss(outputs: HeadTrainOutput, gt_labels: jnp.ndarray,
-                 gt_mask: jnp.ndarray, cfg: LossConfig):
+                 gt_mask: jnp.ndarray, cfg: LossConfig, with_fg: bool = False):
     """Args:
       outputs: head train output (scores sigmoided, reg/cor raw).
       gt_labels: (B, M, 20) [pro, alp, ads0..5, cx, cy, w, h, x1..y4] with
@@ -211,4 +211,6 @@ def compute_loss(outputs: HeadTrainOutput, gt_labels: jnp.ndarray,
     items = jnp.stack([cfg.w_iou * loss_iou, cfg.w_corner * loss_cor,
                        cfg.w_dfl * loss_dfl, cfg.w_class * loss_cls,
                        loss_pro, loss_alp, loss_ads / 6.0])
+    if with_fg:
+        return total, jax.lax.stop_gradient(items), res.fg_mask
     return total, jax.lax.stop_gradient(items)
