@@ -34,6 +34,10 @@ def get_args_parser():
     p.add_argument("--letterbox_return_int", action="store_true")
     p.add_argument("--synthetic-data", type=str, default=None,
                    help="path to a make_synthetic_dataset root (smoke/demo)")
+    p.add_argument("--save-json", action="store_true",
+                   help="also emit COCO-format prediction/annotation jsons "
+                        "(+ COCOeval when pycocotools is installed)")
+    p.add_argument("--save-dir", type=str, default="runs/val/exp")
     p.add_argument("--eval-params", type=str, default=None,
                    help="experiment config with eval_params overrides "
                         "(e.g. yololp_tpu/configs/experiment/eval_640_repro.py)")
@@ -107,11 +111,27 @@ def main(args=None):
                   nads=int(data_dict.get("nads", 37)), deploy=True,
                   dtype=jnp.bfloat16 if args.half else jnp.float32)
 
-    results, speed = run_eval(
+    out = run_eval(
         model, variables, data_dict, batch_size=args.batch_size,
         img_size=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, half=args.half, workers=args.workers,
-        eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task)
+        eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task,
+        return_preds=args.save_json)
+    if args.save_json:
+        results, speed, (preds, targets, paths) = out
+        from yololp_tpu.utils.coco import (
+            cocoeval_if_available, predictions_to_coco_json)
+
+        pred_json = osp.join(args.save_dir, "predictions.json")
+        predictions_to_coco_json(dict(zip(paths, preds)), pred_json)
+        print(f"COCO predictions json: {pred_json}")
+        stats = cocoeval_if_available(
+            osp.join(osp.dirname(pred_json), "instances_val.json"), pred_json
+        ) if osp.isfile(osp.join(args.save_dir, "instances_val.json")) else None
+        if stats is not None:
+            print("COCOeval mAP:", stats[0])
+    else:
+        results, speed = out
 
     mAP, mAP50, mAP75, mAP5095, recall, mAP_list, recall_list = results
     print("AP per IoU bucket [0.50..0.95]:")

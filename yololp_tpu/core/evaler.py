@@ -74,8 +74,9 @@ class Evaler:
 
     def predict(self, run_fn, dataloader) -> Tuple[List, List]:
         """Returns per-image (dets (n, 28), targets (m, 20) in letterboxed
-        pixel coords, xyxy boxes)."""
+        pixel coords, xyxy boxes). Image paths collected in self.last_paths."""
         pred_results, total_targets = [], []
+        self.last_paths = []
         last_bs = None
         for imgs, labels, masks, paths, shapes in dataloader:
             bs, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
@@ -110,6 +111,7 @@ class Evaler:
                     lbl = out
                 pred_results.append(dets_j)
                 total_targets.append(lbl)
+                self.last_paths.append(paths[j])
         return pred_results, total_targets
 
     @staticmethod
@@ -208,7 +210,7 @@ class Evaler:
 def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
              conf_thres=0.03, iou_thres=0.65, half=True, workers=4,
              eval_hyp=None, task="val", run_fn=None, loader=None,
-             evaler=None):
+             evaler=None, return_preds=False):
     """One-call eval (mirrors tools/eval.py run): returns (results, speed).
     Pass prebuilt (evaler, loader, run_fn taking (variables, images)) to
     reuse one compiled program across repeated evals."""
@@ -224,4 +226,6 @@ def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
         fn = lambda images: run_fn(variables, images)
     preds, targets = ev.predict(fn, loader)
     results = ev.eval(preds, targets)
+    if return_preds:
+        return results, ev.eval_speed(), (preds, targets, ev.last_paths)
     return results, ev.eval_speed()
