@@ -1,0 +1,64 @@
+"""True-int8 inference tests: int8 conv arithmetic matches fake-quant, and
+the full int8 pipeline tracks fp32 closely."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from yololp_tpu.layers.fuse import fuse_variables
+from yololp_tpu.models import Model, build_model
+from yololp_tpu.quant.int8_infer import int8_apply, quantize_kernels_int8
+from yololp_tpu.quant.quantize import calibrate, quantize_weights, quantized_apply
+from yololp_tpu.utils.config import Config
+
+rng = np.random.default_rng(17)
+
+
+def test_int8_matches_fake_quant_single_conv():
+    """conv(int8,int8)*sx*sw + b == conv(dequant(x_q), dequant(w_q)) + b."""
+    x = rng.normal(0, 1, (2, 16, 16, 8)).astype(np.float32)
+    w = rng.normal(0, 0.2, (3, 3, 8, 16)).astype(np.float32)
+    b = rng.normal(0, 0.1, 16).astype(np.float32)
+    sx = float(np.abs(x).max()) / 127.0
+    sw = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+    xq = np.clip(np.round(x / sx), -128, 127).astype(np.int8)
+    wq = np.clip(np.round(w / sw), -128, 127).astype(np.int8)
+
+    y_int = jax.lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(wq), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y_int = np.asarray(y_int).astype(np.float64) * (sx * sw) + b
+
+    y_fq = jax.lax.conv_general_dilated(
+        jnp.asarray(xq.astype(np.float32) * sx),
+        jnp.asarray(wq.astype(np.float32) * sw), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y_fq = np.asarray(y_fq) + b
+    np.testing.assert_allclose(y_int, y_fq, rtol=1e-4, atol=1e-4)
+
+
+def test_int8_full_model_close_to_fp():
+    cfg = Config.named("yololpn")
+    _, tv = build_model(cfg, img_size=(64, 64))
+    variables = fuse_variables(tv)
+    model = Model(config=cfg, deploy=True)
+    batch = rng.integers(0, 255, (1, 64, 64, 3), np.uint8)
+    amax = calibrate(model, variables, [batch], method="max")
+    table = quantize_kernels_int8(variables["params"])
+    assert set(table) >= set(amax)
+
+    x = jnp.asarray(batch).astype(jnp.float32) / 255.0
+    y_fp = model.apply(variables, x, train=False)
+    y_i8 = int8_apply(model, variables, x, amax, table, train=False)
+    # scores (sigmoid-compressed) should track fp closely
+    err = np.abs(np.asarray(y_i8[..., 13:]) - np.asarray(y_fp[..., 13:])).max()
+    assert err < 0.15, err
+
+    # int8 execution should agree with the fake-quant simulation tightly
+    qvars = {"params": quantize_weights(variables["params"])}
+    y_fq = quantized_apply(model, qvars, x, amax)
+    err_sim = np.abs(np.asarray(y_i8[..., 13:]) - np.asarray(y_fq[..., 13:])).max()
+    assert err_sim < 0.05, err_sim

@@ -1,0 +1,116 @@
+"""True int8 inference: conv(int8, int8) -> int32 on the MXU.
+
+The PTQ/QAT flow (quant/quantize.py) simulates int8 with fake-quant; this
+module EXECUTES it: per-conv inputs are quantized to int8 with the
+calibrated per-tensor amax, kernels to int8 with per-output-channel scales,
+and the convolution runs with int8 operands and int32 accumulation
+(preferred_element_type) — the v5e MXU's int8 path peaks at 2x its bf16
+FLOPs. Dequantization folds into one fused multiply-add with the bias.
+
+This is the TPU analogue of the reference's TensorRT INT8 engine
+(deploy/TensorRT/onnx_to_trt.py + calibrator.py, SURVEY §2.12): calibration
+scales in, int8 kernels out, same network graph.
+
+Mechanics: an intercept_methods pass swaps each nn.Conv call for the int8
+computation, reading conv geometry (strides/padding/groups) off the module
+instance; layers without calibration data (or in the skip list) fall through
+to the original bf16 path. Mathematically this matches fake-quant inference
+up to accumulation rounding (int32 exact vs float), which the tests bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yololp_tpu.quant.quantize import DEFAULT_SKIP_SUBSTRINGS, _module_path, _skip
+
+
+def quantize_kernels_int8(params: Dict,
+                          skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS
+                          ) -> Dict[str, Tuple]:
+    """params tree -> {module_path: (w_int8 HWIO, w_scale (out,), bias f32)}.
+
+    Only 4D conv kernels are quantized (ConvTranspose/Dense left alone)."""
+    table: Dict[str, Tuple] = {}
+
+    def walk(tree, path=""):
+        if not isinstance(tree, dict):
+            return
+        if "kernel" in tree and getattr(tree["kernel"], "ndim", 0) == 4 \
+                and not _skip(path, skip_substrings):
+            w = jnp.asarray(tree["kernel"], jnp.float32)
+            amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))           # per out-ch
+            scale = jnp.maximum(amax, 1e-9) / 127.0
+            w_q = jnp.clip(jnp.round(w / scale), -128, 127).astype(jnp.int8)
+            bias = jnp.asarray(tree.get("bias", jnp.zeros(w.shape[-1])),
+                               jnp.float32)
+            table[path] = (w_q, scale, bias)
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, f"{path}/{k}" if path else str(k))
+
+    walk(params)
+    return table
+
+
+def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
+               weight_table: Dict[str, Tuple],
+               skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
+               **apply_kwargs):
+    """Forward pass executing calibrated convs in int8."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if (isinstance(m, nn.Conv) and context.method_name == "__call__"):
+            path = _module_path(context)
+            if (path in amax_by_path and path in weight_table
+                    and not _skip(path, skip_substrings)):
+                a = args[0]
+                w_q, w_scale, bias = weight_table[path]
+                x_scale = jnp.asarray(amax_by_path[path], jnp.float32) / 127.0
+                a_q = jnp.clip(
+                    jnp.round(a.astype(jnp.float32) / x_scale),
+                    -128, 127).astype(jnp.int8)
+                strides = m.strides if isinstance(m.strides, tuple) else (1, 1)
+                padding = m.padding
+                y = jax.lax.conv_general_dilated(
+                    a_q, w_q, window_strides=strides, padding=padding,
+                    feature_group_count=m.feature_group_count,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = (y.astype(jnp.float32) * (x_scale * w_scale)
+                     + bias).astype(a.dtype)
+                return y
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        return model.apply(variables, x, **apply_kwargs)
+
+
+def make_int8_infer_fn(model, variables, amax_by_path: Dict[str, float],
+                       skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
+                       with_nms: bool = True, conf_thres: float = 0.4,
+                       iou_thres: float = 0.45, max_det: int = 300):
+    """Jitted uint8-batch -> detections pipeline running calibrated convs in
+    int8 (drop-in for the bf16 deploy path)."""
+    from yololp_tpu.ops.nms import non_max_suppression
+
+    table = quantize_kernels_int8(variables["params"], skip_substrings)
+
+    @jax.jit
+    def run(images_u8):
+        x = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+        pred = int8_apply(model, variables, x, amax_by_path, table,
+                          skip_substrings, train=False)
+        if not with_nms:
+            return pred
+        return non_max_suppression(pred.astype(jnp.float32),
+                                   conf_thres=conf_thres, iou_thres=iou_thres,
+                                   max_det=max_det)
+
+    return run
