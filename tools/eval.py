@@ -34,6 +34,10 @@ def get_args_parser():
     p.add_argument("--letterbox_return_int", action="store_true")
     p.add_argument("--synthetic-data", type=str, default=None,
                    help="path to a make_synthetic_dataset root (smoke/demo)")
+    p.add_argument("--int8", action="store_true",
+                   help="execute calibrated convs in int8 (needs --calib-pt)")
+    p.add_argument("--calib-pt", type=str, default=None,
+                   help="calibration amax json (from train.py --quant --calib)")
     p.add_argument("--save-json", action="store_true",
                    help="also emit COCO-format prediction/annotation jsons "
                         "(+ COCOeval when pycocotools is installed)")
@@ -111,12 +115,23 @@ def main(args=None):
                   nads=int(data_dict.get("nads", 37)), deploy=True,
                   dtype=jnp.bfloat16 if args.half else jnp.float32)
 
+    run_fn = None
+    if args.int8:
+        assert args.calib_pt, "--int8 requires --calib-pt"
+        from yololp_tpu.quant.int8_infer import make_int8_infer_fn
+        from yololp_tpu.quant.quantize import load_amax
+
+        int8_run = make_int8_infer_fn(
+            model, variables, load_amax(args.calib_pt),
+            conf_thres=args.conf_thres, iou_thres=args.iou_thres)
+        run_fn = lambda _vars, images: int8_run(images)
+
     out = run_eval(
         model, variables, data_dict, batch_size=args.batch_size,
         img_size=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, half=args.half, workers=args.workers,
         eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task,
-        return_preds=args.save_json)
+        return_preds=args.save_json, run_fn=run_fn)
     if args.save_json:
         results, speed, (preds, targets, paths) = out
         from yololp_tpu.utils.coco import (

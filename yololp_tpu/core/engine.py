@@ -221,10 +221,35 @@ class Trainer:
             run_fn = ev.make_infer_fn(eval_model)
             self._eval_cache = (eval_model, ev, loader, run_fn)
         eval_model, ev, loader, run_fn = self._eval_cache
-        results, speed = run_eval(
+        results, speed, (preds, _targets, paths) = run_eval(
             eval_model, variables, self.data_dict, evaler=ev, loader=loader,
-            run_fn=run_fn)
+            run_fn=run_fn, return_preds=True)
+        self._save_val_vis(preds, paths)
         return results, speed
+
+    def _save_val_vis(self, preds, paths, max_imgs: int = 8):
+        """Val predictions with corner quads + plate strings
+        (engine.py:449-535 write_tbimg 'val' parity)."""
+        try:
+            import cv2
+
+            from yololp_tpu.data.images import letterbox
+            from yololp_tpu.utils.visualize import draw_detections, image_grid
+
+            drawn = []
+            for path, det in list(zip(paths, preds))[:max_imgs]:
+                bgr = cv2.imread(path)
+                if bgr is None:
+                    continue
+                boxed = letterbox(bgr, self.img_size, auto=False)[0]
+                drawn.append(draw_detections(boxed, det))
+            if drawn:
+                grid = image_grid(drawn)
+                out = osp.join(self.save_dir, "vis", "val_predictions.jpg")
+                os.makedirs(osp.dirname(out), exist_ok=True)
+                cv2.imwrite(out, grid)
+        except Exception as e:  # noqa: BLE001 — vis must never kill training
+            print(f"val vis skipped: {e}")
 
     # ---- PTQ calibration (engine.py:539-556 calibrate) ----
 
