@@ -12,7 +12,6 @@ scaler — engine.py's GradScaler has no equivalent here by design).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

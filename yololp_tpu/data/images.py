@@ -10,7 +10,7 @@ from __future__ import annotations
 import glob
 import math
 import os
-from typing import Iterator, List, Tuple
+from typing import Iterator, Tuple
 
 import cv2
 import numpy as np

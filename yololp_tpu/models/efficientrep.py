@@ -16,7 +16,6 @@ from flax import linen as nn
 
 from yololp_tpu.layers.blocks import (
     BepC3,
-    BottleRep,
     CSPSPPF,
     ConvWrapper,
     RepBlock,

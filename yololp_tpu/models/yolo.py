@@ -12,7 +12,7 @@ Differences from the reference by design:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ mesh (initialize_distributed wraps the env plumbing).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

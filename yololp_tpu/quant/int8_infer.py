@@ -20,7 +20,6 @@ up to accumulation rounding (int32 exact vs float), which the tests bound.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Sequence, Tuple
 
 import jax

@@ -19,8 +19,7 @@ Module paths look like 'backbone/stem/conv'; skip lists match by substring
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ inside the jitted train step; the update rule reproduces torch SGD
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ FLOPs counter, torch_utils.py:97).
 from __future__ import annotations
 
 import contextlib
-from typing import Optional
 
 import jax
 

@@ -8,7 +8,7 @@ train-batch mosaic grid, val predictions with decoded strings).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import cv2
 import numpy as np
