@@ -139,10 +139,31 @@ def main(args=None):
 
         pred_json = osp.join(args.save_dir, "predictions.json")
         predictions_to_coco_json(dict(zip(paths, preds)), pred_json)
-        print(f"COCO predictions json: {pred_json}")
-        stats = cocoeval_if_available(
-            osp.join(osp.dirname(pred_json), "instances_val.json"), pred_json
-        ) if osp.isfile(osp.join(args.save_dir, "instances_val.json")) else None
+        # annotations in the SAME (letterboxed) coordinate space as the preds
+        import json as _json
+
+        anno = {"categories": [{"id": i, "name": str(i), "supercategory": ""}
+                               for i in range(31)],
+                "images": [], "annotations": []}
+        ann_id = 0
+        for path, tgt in zip(paths, targets):
+            img_id = osp.splitext(osp.basename(path))[0]
+            anno["images"].append({"file_name": osp.basename(path),
+                                   "id": img_id, "width": args.img_size,
+                                   "height": args.img_size})
+            for row in tgt:
+                x1, y1, x2, y2 = (float(v) for v in row[8:12])
+                anno["annotations"].append(
+                    {"area": (x2 - x1) * (y2 - y1),
+                     "bbox": [x1, y1, x2 - x1, y2 - y1],
+                     "category_id": int(row[0]), "id": ann_id,
+                     "image_id": img_id, "iscrowd": 0, "segmentation": []})
+                ann_id += 1
+        anno_json = osp.join(args.save_dir, "instances_val.json")
+        with open(anno_json, "w") as f:
+            _json.dump(anno, f)
+        print(f"COCO jsons: {pred_json} + {anno_json}")
+        stats = cocoeval_if_available(anno_json, pred_json)
         if stats is not None:
             print("COCOeval mAP:", stats[0])
     else:

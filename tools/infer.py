@@ -40,6 +40,10 @@ def get_args_parser():
                         help="bf16 compute")
     parser.add_argument("--batch-size", type=int, default=1,
                         help=">1 enables the batched throughput path")
+    parser.add_argument("--int8", action="store_true",
+                        help="execute calibrated convs in int8")
+    parser.add_argument("--calib-pt", type=str, default=None,
+                        help="calibration amax json (required with --int8)")
     return parser
 
 
@@ -58,6 +62,15 @@ def main(args=None):
                       img_size=img_size, half=args.half,
                       conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                       max_det=args.max_det)
+    if args.int8:
+        assert args.calib_pt, "--int8 requires --calib-pt"
+        from yololp_tpu.quant.int8_infer import make_int8_infer_fn
+        from yololp_tpu.quant.quantize import load_amax
+
+        inferer._run = make_int8_infer_fn(
+            inferer.model, inferer.variables, load_amax(args.calib_pt),
+            conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            max_det=args.max_det)
     save_dir = osp.join(args.project, args.name)
     if args.batch_size > 1:
         results = inferer.infer_batched(save_dir, batch_size=args.batch_size,
