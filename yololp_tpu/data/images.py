@@ -80,6 +80,12 @@ class LoadData:
     """Iterate images/videos from a file, glob, or directory (datasets.py:745)."""
 
     def __init__(self, path: str):
+        if str(path).isdigit():  # webcam index (reference LoadData webcam mode)
+            self.img_files, self.vid_files = [], []
+            self.files = [str(path)]
+            self.webcam = int(path)
+            return
+        self.webcam = None
         p = str(os.path.abspath(path))
         if os.path.isdir(p):
             files = sorted(glob.glob(os.path.join(p, "**", "*.*"), recursive=True))
@@ -100,6 +106,15 @@ class LoadData:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, str, str]]:
         """Yields (bgr_image, path, kind) where kind is 'image' or 'video'."""
+        if self.webcam is not None:
+            cap = cv2.VideoCapture(self.webcam)
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield frame, f"webcam{self.webcam}", "video"
+            cap.release()
+            return
         for f in self.img_files:
             img = cv2.imread(f)
             if img is None:
