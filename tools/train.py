@@ -35,6 +35,8 @@ def get_args_parser():
                    help="eval every epoch in the last N epochs")
     p.add_argument("--stop_aug_last_n_epoch", type=int, default=15)
     p.add_argument("--save_ckpt_on_last_n_epoch", type=int, default=0)
+    p.add_argument("--save-every-epoch", action="store_true",
+                   help="save last_ckpt every epoch (default: eval epochs only)")
     p.add_argument("--output-dir", default="./runs/train")
     p.add_argument("--name", default="exp")
     p.add_argument("--resume", nargs="?", const=True, default=False)

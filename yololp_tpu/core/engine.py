@@ -340,7 +340,10 @@ class Trainer:
                 if epoch >= stop_aug_epoch and ap > self.best_stop_aug_ap:
                     self.best_stop_aug_ap = ap
                     self.save("best_stop_aug_ckpt.msgpack", epoch)
-            else:
+            elif epoch == self.epochs - 1 or getattr(
+                    self.args, "save_every_epoch", False):
+                # serializing the full train state every epoch costs more
+                # than a fast epoch; default to eval-epochs + final only
                 self.save("last_ckpt.msgpack", epoch)
             if getattr(self.args, "save_ckpt_on_last_n_epoch", 0) and \
                     epoch >= self.epochs - self.args.save_ckpt_on_last_n_epoch:
