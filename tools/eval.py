@@ -172,7 +172,8 @@ def main(args=None):
     mAP, mAP50, mAP75, mAP5095, recall, mAP_list, recall_list = results
     print("AP per IoU bucket [0.50..0.95]:")
     for i, (ap, rc) in enumerate(zip(mAP_list, recall_list)):
-        print(f"  IoU {0.5 + i * 0.05:.2f}: AP={ap:.4f} recall={rc:.4f}")
+        ap_s = "  n/a " if ap == -1 else f"{ap:.4f}"  # -1 = empty bucket
+        print(f"  IoU {0.5 + i * 0.05:.2f}: AP={ap_s} recall={rc:.4f}")
     print(f"mAP={mAP:.4f} mAP50={mAP50:.4f} mAP75={mAP75:.4f} "
           f"mAP50-95={mAP5095:.4f} recall={recall:.4f}")
     print(f"speed per image: pre {speed['pre_ms']:.2f} ms, "
