@@ -77,11 +77,9 @@ class Evaler:
         pixel coords, xyxy boxes). Image paths collected in self.last_paths."""
         pred_results, total_targets = [], []
         self.last_paths = []
-        last_bs = None
-        for imgs, labels, masks, paths, shapes in dataloader:
+        for imgs, labels, masks, paths, _shapes in dataloader:
+            # note: a final partial batch triggers one extra compile
             bs, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-            if bs != last_bs:
-                last_bs = bs  # final partial batch triggers one extra compile
             t1 = time.perf_counter()
             imgs_dev = jnp.asarray(imgs)
             t2 = time.perf_counter()

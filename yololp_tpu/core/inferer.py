@@ -182,19 +182,18 @@ class Inferer:
 
     @classmethod
     def _load_font(cls, size: int = 22):
+        if cls._font is not None:
+            return cls._font
         from PIL import ImageFont
 
-        candidates = [
-            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         "data", "assets", "platechar.ttf"),
-        ]
-        for c in candidates:
-            if os.path.isfile(c):
-                try:
-                    return ImageFont.truetype(c, size)
-                except OSError:
-                    pass
-        return ImageFont.load_default()
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "assets", "platechar.ttf")
+        try:
+            cls._font = ImageFont.truetype(path, size)
+        except OSError:
+            cls._font = ImageFont.load_default()
+        return cls._font
 
     @staticmethod
     def plate_text(det_row: np.ndarray) -> str:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -148,8 +149,6 @@ def iou_loss(box1, box2, iou_type: str = "giou", box_format: str = "xyxy",
         if iou_type == "diou":
             iou = iou - rho2 / c2
         else:
-            import jax
-
             v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
             alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
             iou = iou - (rho2 / c2 + v * alpha)
