@@ -178,30 +178,13 @@ class Inferer:
 
     # ---- drawing ----
 
-    _font = None
-
-    @classmethod
-    def _load_font(cls, size: int = 22):
-        if cls._font is not None:
-            return cls._font
-        from PIL import ImageFont
-
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "data", "assets", "platechar.ttf")
-        try:
-            cls._font = ImageFont.truetype(path, size)
-        except OSError:
-            cls._font = ImageFont.load_default()
-        return cls._font
-
     @staticmethod
     def plate_text(det_row: np.ndarray) -> str:
         ids = det_row[20:28].astype(int)
         return V.plate_string(ids[0], ids[1], ids[2:8])
 
     def draw(self, img_bgr: np.ndarray, dets: np.ndarray) -> np.ndarray:
-        from PIL import Image, ImageDraw
+        from yololp_tpu.data.glyphs import blit_text
 
         out = img_bgr.copy()
         for d in dets:
@@ -211,16 +194,11 @@ class Inferer:
             for i in range(4):
                 p1, p2 = tuple(quad[i]), tuple(quad[(i + 1) % 4])
                 cv2.line(out, p1, p2, (0, 255, 255), 2)
-        if len(dets):
-            pil = Image.fromarray(cv2.cvtColor(out, cv2.COLOR_BGR2RGB))
-            drawer = ImageDraw.Draw(pil)
-            font = self._load_font()
-            for d in dets:
-                conf = float(d[12:20].mean())
-                drawer.text((int(d[0]), max(int(d[1]) - 24, 0)),
-                            f"{self.plate_text(d)} {conf:.2f}",
-                            fill=(255, 0, 0), font=font)
-            out = cv2.cvtColor(np.asarray(pil), cv2.COLOR_RGB2BGR)
+        for d in dets:
+            conf = float(d[12:20].mean())
+            blit_text(out, f"{self.plate_text(d)} {conf:.2f}",
+                      (int(d[0]), max(int(d[1]) - 24, 0)),
+                      color=(0, 0, 255), size=22)
         return out
 
     def infer(self, save_dir: str, save_txt: bool = True, save_img: bool = True,

@@ -12,10 +12,10 @@ plate corners tracked through every transform; plus the two in-image uses:
 
 Redesigned rather than ported: plate backgrounds are procedural (the
 reference loads template .bmp assets; we synthesize style-colored canvases),
-and CJK glyphs (provinces, 警/学) fall back to deterministic per-class
-pseudo-glyphs when no CJK-capable font is available — the reference repo
-ships only the latin `platechar.ttf` and its own generator crashes on the
-missing `platech.ttf`. Pass `cjk_font_path` to use a real font.
+CJK glyphs (provinces, 警/学) come from the authored vector stroke library
+(data/glyphs.py — the reference repo ships only a latin font and its own
+generator crashes on the missing `platech.ttf`), and latin glyphs use the
+freely-licensed DejaVu font. Pass `cjk_font_path` to use a real CJK font.
 
 Label row format (pixel coords, (1, 20)):
   [pro, alp, ads0..5, x1, y1, x2, y2, cx1, cy1 .. cx4, cy4]
@@ -31,10 +31,8 @@ import cv2
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
+from yololp_tpu.data import glyphs as glyph_lib
 from yololp_tpu.data.vocab import ADS_NAMES, ALP_NAMES, PRO_NAMES
-
-_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
-LATIN_FONT = os.path.join(_ASSETS, "platechar.ttf")
 
 # style-appearance constants: (bg BGR, fg BGR)
 STYLE_COLORS = {
@@ -59,7 +57,7 @@ class GlyphRenderer:
         self.cjk_font_path = cjk_font_path
         self._latin = None
         self._cjk = None
-        self._pseudo_cache = {}
+        self._cache = {}
 
     def __getstate__(self):
         return {"cjk_font_path": self.cjk_font_path}
@@ -70,7 +68,9 @@ class GlyphRenderer:
     @property
     def latin(self):
         if self._latin is None:
-            self._latin = ImageFont.truetype(LATIN_FONT, 60)
+            path = glyph_lib.find_latin_font()
+            self._latin = (ImageFont.truetype(path, 280) if path
+                           else ImageFont.load_default())
         return self._latin
 
     @property
@@ -84,36 +84,20 @@ class GlyphRenderer:
         return self._cjk
 
     def latin_glyph(self, ch: str, w: int = 23) -> np.ndarray:
-        img = Image.new("L", (w, 70), 0)
-        ImageDraw.Draw(img).text((0, 2), ch, 255, font=self.latin)
-        return np.asarray(img)
+        key = ("latin", ch, w)
+        if key not in self._cache:
+            self._cache[key] = glyph_lib.render_latin(ch, w, 70, self.latin)
+        return self._cache[key]
 
     def cjk_glyph(self, ch: str, w: int = 23) -> np.ndarray:
         if self.cjk is not None:
             img = Image.new("L", (45, 70), 0)
             ImageDraw.Draw(img).text((0, 3), ch, 255, font=self.cjk)
             return np.asarray(img.resize((w, 70)))
-        return self._pseudo_glyph(ch, w)
-
-    def _pseudo_glyph(self, ch: str, w: int) -> np.ndarray:
-        """Deterministic dense stroke pattern unique per character — a stand-in
-        that keeps the 31 province classes visually separable for training
-        when no CJK font exists in the environment."""
-        key = (ch, w)
-        if key not in self._pseudo_cache:
-            rng = np.random.default_rng(abs(hash(ch)) % (2**32))
-            img = np.zeros((70, w), np.uint8)
-            for _ in range(9):  # horizontal/vertical strokes, character-like
-                if rng.random() < 0.5:
-                    y = int(rng.uniform(4, 62))
-                    x0, x1 = sorted(rng.uniform(1, w - 1, 2).astype(int))
-                    img[y:y + 4, x0:max(x1, x0 + 3)] = 255
-                else:
-                    x = int(rng.uniform(1, w - 4))
-                    y0, y1 = sorted(rng.uniform(4, 66, 2).astype(int))
-                    img[y0:max(y1, y0 + 6), x:x + 3] = 255
-            self._pseudo_cache[key] = img
-        return self._pseudo_cache[key]
+        key = ("cjk", ch, w)
+        if key not in self._cache:
+            self._cache[key] = glyph_lib.render_glyph(ch, w, 70)
+        return self._cache[key]
 
 
 class PlateStyle:

@@ -14,26 +14,12 @@ import cv2
 import numpy as np
 
 from yololp_tpu.data import vocab as V
-
-_FONT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "..", "data", "assets", "platechar.ttf")
-
-
-def _font(size=20):
-    from PIL import ImageFont
-
-    try:
-        return ImageFont.truetype(_FONT_PATH, size)
-    except OSError:
-        return ImageFont.load_default()
+from yololp_tpu.data.glyphs import blit_text
 
 
 def _put_text(img_bgr, text, xy, color=(255, 0, 0)):
-    from PIL import Image, ImageDraw
-
-    pil = Image.fromarray(cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB))
-    ImageDraw.Draw(pil).text(xy, text, fill=color, font=_font())
-    return cv2.cvtColor(np.asarray(pil), cv2.COLOR_RGB2BGR)
+    # RGB color arg kept for call-site compat; blit_text takes BGR
+    return blit_text(img_bgr, text, xy, color=color[::-1], size=20)
 
 
 def draw_labels(img_bgr: np.ndarray, labels: np.ndarray,
