@@ -29,3 +29,34 @@ def test_detect_and_detect_batch_contracts(tmp_path):
         if len(d):
             assert d[:, 0:12:2].max() <= src.shape[1]
             assert d[:, 1:12:2].max() <= src.shape[0]
+
+    # encoded path: native C++ batch decode+letterbox (cv2 fallback if the
+    # .so is unbuilt) must agree with the decoded path
+    import cv2
+
+    bufs = [cv2.imencode(".jpg", b)[1].tobytes() for b in batch]
+    out_enc = inferer.detect_batch_encoded(bufs)
+    assert len(out_enc) == 2
+    for d_enc, d_dec in zip(out_enc, out):
+        assert d_enc.shape == d_dec.shape
+        if len(d_enc):
+            np.testing.assert_allclose(d_enc[:, :12], d_dec[:, :12],
+                                       rtol=0.1, atol=8.0)  # jpeg lossy
+
+
+def test_infer_batched_uses_encoded_image_path(tmp_path):
+    import cv2
+
+    from yololp_tpu.data.native import native_available
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(3):
+        cv2.imwrite(str(src / f"im{i}.jpg"),
+                    rng.integers(0, 255, (200, 260, 3), np.uint8))
+    inferer = Inferer(str(src), None, "yololpn", img_size=128, half=False,
+                      conf_thres=0.009, max_det=5)
+    results = inferer.infer_batched(str(tmp_path / "out"), batch_size=2)
+    assert len(results) == 3
+    assert all(d.shape[1] == 28 for _, d in results)
+    assert native_available() or True  # exercised either way; native when built

@@ -79,7 +79,8 @@ def rescale_dets(dets: np.ndarray, letterbox_shape, ori_shape) -> np.ndarray:
 class LoadData:
     """Iterate images/videos from a file, glob, or directory (datasets.py:745)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, decode_images: bool = True):
+        self._decode_images = decode_images
         if str(path).isdigit():  # webcam index (reference LoadData webcam mode)
             self.img_files, self.vid_files = [], []
             self.files = [str(path)]
@@ -104,8 +105,14 @@ class LoadData:
     def __len__(self):
         return len(self.files)
 
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, str, str]]:
-        """Yields (bgr_image, path, kind) where kind is 'image' or 'video'."""
+    def __iter__(self):
+        return self._iterate(self._decode_images)
+
+    def _iterate(self, decode_images: bool
+                 ) -> Iterator[Tuple[np.ndarray, str, str]]:
+        """Yields (item, path, kind): kind 'image' (decoded BGR), 'video'
+        (decoded BGR frame), or 'image_bytes' (raw encoded file bytes, for
+        the native C++ batch decode path) when decode_images=False."""
         if self.webcam is not None:
             cap = cv2.VideoCapture(self.webcam)
             while True:
@@ -116,10 +123,14 @@ class LoadData:
             cap.release()
             return
         for f in self.img_files:
-            img = cv2.imread(f)
-            if img is None:
-                continue
-            yield img, f, "image"
+            if decode_images:
+                img = cv2.imread(f)
+                if img is None:
+                    continue
+                yield img, f, "image"
+            else:
+                with open(f, "rb") as fh:
+                    yield fh.read(), f, "image_bytes"
         for f in self.vid_files:
             cap = cv2.VideoCapture(f)
             while True:
