@@ -1,65 +1,190 @@
 #!/usr/bin/env python3
-"""Benchmark: yololps end-to-end inference throughput on the attached TPU.
+"""Benchmark: yololps throughput on the attached TPU (one chip).
 
-Measures the full on-device pipeline per image at 640x640: uint8 batch ->
-normalize -> fused (reparameterized) forward in bf16 -> 290-col decode ->
-fixed-shape NMS. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
-Baseline (BASELINE.md north star): 5000 img/s aggregate on v5e-8, i.e.
-625 img/s/chip; vs_baseline is measured per-chip throughput / 625.
+All measurements cycle DISTINCT pre-staged device-resident input batches
+(never the same batch, which can hit replay/caching artifacts over the
+tunnel). Inference reports pipelined throughput (async dispatch, one final
+sync — the serving-loop behavior) as the headline plus a conservative
+per-batch-synced number (includes one tunnel RTT per batch); the train step
+is inherently serialized by the state dependency and is timed per step:
+
+  * headline: e2e bf16 inference (uint8 -> normalize -> fused forward ->
+    290-col decode -> fixed-shape NMS) at 640x640 b128,
+  * TRUE int8 inference (conv(int8,int8)->int32 on the MXU, max-calibrated),
+  * full training step (fwd + loss + ATSS assign + SGD + EMA in one XLA
+    program) at 640x640 b32 bf16.
+
+Prints ONE JSON line; extra keys carry the secondary metrics.
+Baseline (BASELINE.md north star): 5000 img/s aggregate on v5e-8 =
+625 img/s/chip; vs_baseline = headline per-chip throughput / 625.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def _median_iter_time(step, staged_inputs, iters):
+    """Per-iteration sync + distinct inputs per iter; returns median secs.
+    Conservative (includes one tunnel RTT per iteration)."""
+    import jax
+
+    times = []
+    for i in range(iters):
+        x = staged_inputs[i % len(staged_inputs)]
+        t0 = time.perf_counter()
+        out = step(*x)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _pipelined_time(step, staged_inputs, iters):
+    """Deployment throughput: dispatch `iters` batches of DISTINCT inputs
+    back-to-back, one final sync. Distinct inputs rule out the same-input
+    replay artifact (VERDICT r1 weak #4) while keeping the async pipelining
+    a real serving loop has."""
+    import jax
+
+    jax.block_until_ready(step(*staged_inputs[0]))  # settle
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = step(*staged_inputs[i % len(staged_inputs)])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_inference(model, variables, batch, img, iters=20):
     import jax
     import jax.numpy as jnp
 
-    from yololp_tpu.layers.fuse import fuse_variables_jit as fuse_variables
-    from yololp_tpu.models import Model, build_model
     from yololp_tpu.ops.nms import non_max_suppression
-    from yololp_tpu.utils.config import Config
-
-    batch = 128
-    img = 640
-    cfg = Config.named("yololps")
-    _, train_vars = build_model(cfg, img_size=(64, 64), dtype=jnp.bfloat16)
-    variables = fuse_variables(train_vars)
-    model = Model(config=cfg, deploy=True, dtype=jnp.bfloat16)
 
     @jax.jit
     def run(images_u8):
         x = images_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         pred = model.apply(variables, x, train=False)
         det, valid, num = non_max_suppression(
-            pred, conf_thres=0.4, iou_thres=0.45, max_det=300, pre_nms_topk=256)
+            pred, conf_thres=0.4, iou_thres=0.45, max_det=300,
+            pre_nms_topk=256)
         return det, num
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 255, (batch, img, img, 3), np.uint8))
+    staged = [(jax.device_put(rng.integers(0, 255, (batch, img, img, 3),
+                                           np.uint8)),)
+              for _ in range(4)]
+    jax.block_until_ready(run(*staged[0]))  # compile
+    dt_sync = _median_iter_time(run, staged, iters)
+    dt_pipe = _pipelined_time(run, staged, iters)
+    return batch / dt_pipe, batch / dt_sync
 
-    # warmup / compile
-    jax.block_until_ready(run(images))
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+def bench_int8(model, variables, batch, img, iters=20):
+    import jax
 
-    ips = batch * iters / dt
-    per_chip_target = 5000.0 / 8.0
-    print(json.dumps({
-        "metric": "yololps 640x640 e2e inference (fwd+decode+NMS, bf16, b128) per chip",
+    from yololp_tpu.quant.int8_infer import make_int8_infer_fn
+    from yololp_tpu.quant.quantize import calibrate
+
+    rng = np.random.default_rng(1)
+    calib = [rng.integers(0, 255, (8, img, img, 3), np.uint8)
+             for _ in range(2)]
+    amax = calibrate(model, variables, calib, method="max")
+    run = make_int8_infer_fn(model, variables, amax)
+    staged = [(jax.device_put(rng.integers(0, 255, (batch, img, img, 3),
+                                           np.uint8)),)
+              for _ in range(4)]
+    jax.block_until_ready(run(*staged[0]))
+    dt = _pipelined_time(run, staged, iters)
+    return batch / dt
+
+
+def bench_train_step(batch=32, img=640, iters=12):
+    import jax
+    import jax.numpy as jnp
+
+    from yololp_tpu.core.train_step import init_train_state, make_train_step
+    from yololp_tpu.losses.loss import LossConfig
+    from yololp_tpu.models import Model, build_model
+    from yololp_tpu.solver.build import SolverConfig
+    from yololp_tpu.utils.config import Config
+
+    cfg = Config.named("yololps")
+    model = Model(config=cfg, deploy=False, dtype=jnp.bfloat16)
+    _, variables = build_model(cfg, img_size=(64, 64), dtype=jnp.bfloat16)
+    state = init_train_state(variables)
+    loss_cfg = LossConfig(img_size=(img, img), iou_type="giou")
+    solver_cfg = SolverConfig(epochs=10, steps_per_epoch=100)
+    step = jax.jit(make_train_step(model, loss_cfg, solver_cfg,
+                                   batch_size=batch))
+
+    rng = np.random.default_rng(2)
+    staged = []
+    for _ in range(3):
+        images = rng.integers(0, 255, (batch, img, img, 3), np.uint8)
+        labels = np.zeros((batch, 16, 20), np.float32)
+        labels[..., :8] = -1
+        mask = np.zeros((batch, 16), np.float32)
+        for b in range(batch):
+            n = 1 + b % 3
+            for k in range(n):
+                labels[b, k, :8] = [1, 2, 3, 4, 5, 6, 7, 36]
+                cx, cy = 0.2 + 0.3 * k, 0.3 + 0.2 * k
+                labels[b, k, 8:12] = [cx, cy, 0.25, 0.1]
+                labels[b, k, 12:20] = [cx - 0.12, cy - 0.04, cx - 0.12,
+                                       cy + 0.04, cx + 0.12, cy + 0.04,
+                                       cx + 0.12, cy - 0.04]
+                mask[b, k] = 1
+        staged.append((jax.device_put(images), jax.device_put(labels),
+                       jax.device_put(mask)))
+
+    state, total, items = step(state, *staged[0])  # compile
+    jax.block_until_ready(total)
+    times = []
+    for i in range(iters):
+        imgs, lbls, msks = staged[i % len(staged)]
+        t0 = time.perf_counter()
+        state, total, items = step(state, imgs, lbls, msks)
+        jax.block_until_ready(total)
+        times.append(time.perf_counter() - t0)
+    return batch / float(np.median(times))
+
+
+def main():
+    import jax.numpy as jnp
+
+    from yololp_tpu.layers.fuse import fuse_variables_jit as fuse_variables
+    from yololp_tpu.models import Model, build_model
+    from yololp_tpu.utils.config import Config
+
+    batch, img = 128, 640
+    cfg = Config.named("yololps")
+    _, train_vars = build_model(cfg, img_size=(64, 64), dtype=jnp.bfloat16)
+    variables = fuse_variables(train_vars)
+    model = Model(config=cfg, deploy=True, dtype=jnp.bfloat16)
+
+    ips, ips_sync = bench_inference(model, variables, batch, img)
+    result = {
+        "metric": "yololps 640x640 e2e inference (fwd+decode+NMS, bf16, "
+                  "b128) per chip",
         "value": round(ips, 1),
         "unit": "images/sec",
-        "vs_baseline": round(ips / per_chip_target, 3),
-    }))
+        "vs_baseline": round(ips / (5000.0 / 8.0), 3),
+        "per_batch_sync_images_per_sec": round(ips_sync, 1),
+    }
+    if os.environ.get("YOLOLP_BENCH_FAST") != "1":
+        try:
+            result["int8_images_per_sec"] = round(
+                bench_int8(model, variables, batch, img), 1)
+        except Exception as e:  # noqa: BLE001 — secondary metric best-effort
+            result["int8_error"] = str(e)[:200]
+        try:
+            result["train_images_per_sec_b32"] = round(bench_train_step(), 1)
+        except Exception as e:  # noqa: BLE001
+            result["train_error"] = str(e)[:200]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

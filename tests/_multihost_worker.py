@@ -1,0 +1,113 @@
+"""Worker process for the 2-process jax.distributed CPU test.
+
+Each process owns 1 virtual CPU device (xla_force_host_platform_device_count)
+and contributes its local half of an 8-image global batch via
+jax.make_array_from_process_local_data — exactly the multi-host path
+tools/train.py + core/engine.py use (reference: DDP per-rank batches,
+yolov6/core/engine.py:365). Rank 0 prints per-step losses for comparison
+against a single-process run on the same global batch.
+
+Usage: python _multihost_worker.py <coordinator> <num_procs> <proc_id>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    flags + ["--xla_force_host_platform_device_count=1"])
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def make_fixed_batch(global_batch: int, img: int):
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (global_batch, img, img, 3), np.uint8)
+    labels = np.zeros((global_batch, 4, 20), np.float32)
+    labels[..., :8] = -1
+    mask = np.zeros((global_batch, 4), np.float32)
+    for b in range(global_batch):
+        labels[b, 0, :8] = [1, 2, 3, 4, 5, 6, 7, 36]
+        labels[b, 0, 8:12] = [0.5, 0.5, 0.4, 0.2]
+        labels[b, 0, 12:20] = [0.3, 0.4, 0.3, 0.6, 0.7, 0.6, 0.7, 0.4]
+        mask[b, 0] = 1
+    return images, labels, mask
+
+
+def run_steps(mesh, images, labels, mask, n_steps: int = 3,
+              multihost: bool = False):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yololp_tpu.core.train_step import init_train_state, make_train_step
+    from yololp_tpu.losses.loss import LossConfig
+    from yololp_tpu.models import build_model
+    from yololp_tpu.solver.build import SolverConfig
+    from yololp_tpu.utils.config import Config
+
+    img = images.shape[1]
+    batch = images.shape[0] * (jax.process_count() if multihost else 1)
+    cfg = Config.named("yololpn")
+    _, variables = build_model(cfg, img_size=(img, img), seed=0)
+    state = init_train_state(variables)
+    loss_cfg = LossConfig(img_size=(img, img), iou_type="siou")
+    solver_cfg = SolverConfig(epochs=2, steps_per_epoch=n_steps)
+    step_fn = make_train_step(_build_model_obj(cfg), loss_cfg, solver_cfg,
+                              batch_size=batch)
+
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    step = jax.jit(step_fn, in_shardings=(repl, data_sh, data_sh, data_sh),
+                   out_shardings=(repl, repl, repl))
+
+    def to_dev(arr):
+        if multihost:
+            return jax.make_array_from_process_local_data(data_sh, arr)
+        return jax.device_put(arr, data_sh)
+
+    state = jax.device_put(state, repl)
+    losses = []
+    for _ in range(n_steps):
+        state, total, _ = step(state, to_dev(images), to_dev(labels),
+                               to_dev(mask))
+        losses.append(float(jax.device_get(total)))
+    return losses
+
+
+def _build_model_obj(cfg):
+    from yololp_tpu.models import Model
+
+    return Model(config=cfg, deploy=False)
+
+
+def main():
+    coordinator, num_procs, proc_id = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_procs, process_id=proc_id)
+    assert jax.process_count() == num_procs
+    assert len(jax.devices()) == num_procs, len(jax.devices())
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    img, global_batch = 64, 8
+    images, labels, mask = make_fixed_batch(global_batch, img)
+    lo = proc_id * (global_batch // num_procs)
+    hi = lo + global_batch // num_procs
+    losses = run_steps(mesh, images[lo:hi], labels[lo:hi], mask[lo:hi],
+                       multihost=True)
+    if proc_id == 0:
+        print("LOSSES " + " ".join(f"{v:.6f}" for v in losses))
+
+
+if __name__ == "__main__":
+    main()

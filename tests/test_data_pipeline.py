@@ -51,6 +51,43 @@ def test_val_letterbox_label_roundtrip(tmp_path):
     assert (h0, w0) == (480, 640)
 
 
+def test_rect_val_loader_shapes_and_labels(tmp_path):
+    """--rect compat mode: aspect-sorted batches, per-batch shapes stride-
+    rounded with pad 0.5 then quantized to multiples of 64; labels follow
+    the per-batch letterbox."""
+    from yololp_tpu.data.datasets import RectValLoader
+
+    root = str(tmp_path)
+    os.makedirs(f"{root}/images/val", exist_ok=True)
+    os.makedirs(f"{root}/labels/val", exist_ok=True)
+    row = [3, 5, 1, 2, 3, 4, 5, 36, 0.5, 0.5, 0.4, 0.2,
+           0.3, 0.4, 0.3, 0.6, 0.7, 0.6, 0.7, 0.4]
+    sizes = [(480, 640), (360, 640), (640, 480), (512, 512)]  # (h, w)
+    for i, (h, w) in enumerate(sizes):
+        cv2.imwrite(f"{root}/images/val/r{i}.jpg",
+                    np.full((h, w, 3), 90, np.uint8))
+        with open(f"{root}/labels/val/r{i}.txt", "w") as f:
+            f.write(" ".join(str(v) for v in row))
+    ds = TrainValDataset(f"{root}/images/val", img_size=320, augment=False,
+                         task="val")
+    loader = RectValLoader(ds, batch_size=2, img_size=320)
+    batches = list(loader)
+    assert len(batches) == 2
+    for imgs, labels, masks, paths, _ in batches:
+        h, w = imgs.shape[1], imgs.shape[2]
+        assert h % 64 == 0 and w % 64 == 0  # quantized shapes
+        assert max(h, w) <= 320 + 64 + 32   # near img_size
+        for j in range(imgs.shape[0]):
+            lbl = labels[j][masks[j] > 0]
+            assert len(lbl) == 1
+            # boxes stay inside the normalized frame and keep cx ordering
+            assert 0 <= lbl[0, 8:].min() and lbl[0, 8:].max() <= 1
+    # wide images (ar < 1) get a shorter-than-wide batch shape
+    ar_shapes = dict(zip([tuple(b[0].shape[1:3]) for b in batches],
+                         [None] * 2))
+    assert any(h < w for h, w in ar_shapes)
+
+
 def test_identity_affine_preserves_labels():
     img = np.full((320, 320, 3), 120, np.uint8)
     labels = np.zeros((1, 20), np.float32)

@@ -1,0 +1,60 @@
+"""Multi-host data parallelism: 2-process jax.distributed CPU training.
+
+VERDICT r1 item 4: prove the DCN/multi-host path end-to-end — two processes,
+each with 1 virtual CPU device, jointly train over a 2-device global mesh
+with per-process local batch shards, and the losses match a single-process
+run on the same global batch (the reference's DDP-vs-single-GPU invariant).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs 2 virtual devices")
+def test_two_process_training_matches_single_process():
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, "2", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=HERE)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    loss_line = [ln for ln in outs[0].splitlines() if ln.startswith("LOSSES")]
+    assert loss_line, outs[0][-2000:]
+    multi = np.array([float(v) for v in loss_line[0].split()[1:]])
+
+    # single-process reference on a 2-device mesh + the same global batch
+    from jax.sharding import Mesh
+
+    from tests._multihost_worker import make_fixed_batch, run_steps
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    images, labels, mask = make_fixed_batch(8, 64)
+    single = np.array(run_steps(mesh, images, labels, mask, multihost=False))
+
+    assert np.isfinite(multi).all() and np.isfinite(single).all()
+    assert multi[-1] < multi[0]  # it is actually optimizing
+    np.testing.assert_allclose(multi, single, rtol=2e-3, atol=2e-3)

@@ -32,6 +32,9 @@ def get_args_parser():
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--test_load_size", type=int, default=None)
     p.add_argument("--letterbox_return_int", action="store_true")
+    p.add_argument("--rect", action="store_true",
+                   help="reference-protocol rect-batched val (aspect-sorted "
+                        "batches, pad 0.5; quantized shapes on TPU)")
     p.add_argument("--synthetic-data", type=str, default=None,
                    help="path to a make_synthetic_dataset root (smoke/demo)")
     p.add_argument("--int8", action="store_true",
@@ -131,7 +134,7 @@ def main(args=None):
         img_size=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, half=args.half, workers=args.workers,
         eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task,
-        return_preds=args.save_json, run_fn=run_fn)
+        return_preds=args.save_json, run_fn=run_fn, rect=args.rect)
     if args.save_json:
         results, speed, (preds, targets, paths) = out
         from yololp_tpu.utils.coco import (

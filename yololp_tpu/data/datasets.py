@@ -105,7 +105,8 @@ class TrainValDataset:
     def __init__(self, img_dir: str, img_size: int = 640, augment: bool = False,
                  hyp: Optional[Dict] = None, task: str = "train",
                  max_boxes: int = MAX_BOXES, seed: Optional[int] = None,
-                 cjk_font_path: Optional[str] = None):
+                 cjk_font_path: Optional[str] = None,
+                 process_shard: Optional[Tuple[int, int]] = None):
         self.img_dir = img_dir
         self.img_size = img_size
         self.augment = augment
@@ -113,6 +114,13 @@ class TrainValDataset:
         self.task = task
         self.max_boxes = max_boxes
         self.img_paths, self.labels = scan_dataset(img_dir)
+        if process_shard is not None:
+            # per-host shard (rank, world): the DistributedSampler equivalent
+            # (reference data_load.py:65-67) — each host reads a disjoint
+            # strided slice of the dataset
+            rank, world = process_shard
+            self.img_paths = self.img_paths[rank::world]
+            self.labels = self.labels[rank::world]
         self.gen = PlateGenerator(seed=seed, cjk_font_path=cjk_font_path)
 
     def __len__(self):
@@ -157,49 +165,33 @@ class TrainValDataset:
             mask[:n] = 1
         return out, mask
 
-    def __getitem__(self, index):
+    def _letterboxed_item(self, index, new_shape):
+        """Load + letterbox to new_shape (int or (h, w)) with full box+corner
+        bookkeeping; returns (img BGR, labels pixel-coords, shapes)."""
         hyp = self.hyp
-        if self.augment and random.random() < hyp.get("mosaic", 0):
-            img, labels = self.get_mosaic(index)
-            shapes = None
-            if random.random() < hyp.get("mixup", 0):
-                img2, labels2 = self.get_mosaic(
-                    random.randint(0, len(self.img_paths) - 1))
-                img, labels = mixup(img, labels, img2, labels2)
-            if random.random() < hyp.get("generate", 0):
-                img, labels = warp_into_image(img, labels, self.gen)
-            if random.random() < hyp.get("gen_paste", 0):
-                img, labels = paste_plates(img, labels, self.gen)
-        else:
-            load_size = hyp.get("test_load_size")
-            img, (h0, w0), (h, w) = self.load_image(index, load_size)
-            img, ratio, pad = letterbox(img, self.img_size, auto=False,
-                                        scaleup=self.augment,
-                                        return_int=bool(hyp.get("letterbox_return_int")))
-            shapes = (h0, w0), ((h * ratio / h0, w * ratio / w0), pad)
+        load_size = hyp.get("test_load_size")
+        img, (h0, w0), (h, w) = self.load_image(index, load_size)
+        img, ratio, pad = letterbox(img, new_shape, auto=False,
+                                    scaleup=self.augment,
+                                    return_int=bool(hyp.get("letterbox_return_int")))
+        shapes = (h0, w0), ((h * ratio / h0, w * ratio / w0), pad)
 
-            labels = self.labels[index].copy()
-            if labels.size:
-                w_r, h_r = w * ratio, h * ratio
-                out = labels.copy()
-                out[:, 8] = w_r * (labels[:, 8] - labels[:, 10] / 2) + pad[0]
-                out[:, 9] = h_r * (labels[:, 9] - labels[:, 11] / 2) + pad[1]
-                out[:, 10] = w_r * (labels[:, 8] + labels[:, 10] / 2) + pad[0]
-                out[:, 11] = h_r * (labels[:, 9] + labels[:, 11] / 2) + pad[1]
-                out[:, 12:20:2] = w_r * labels[:, 12:20:2] + pad[0]
-                out[:, 13:20:2] = h_r * labels[:, 13:20:2] + pad[1]
-                labels = out
+        labels = self.labels[index].copy()
+        if labels.size:
+            w_r, h_r = w * ratio, h * ratio
+            out = labels.copy()
+            out[:, 8] = w_r * (labels[:, 8] - labels[:, 10] / 2) + pad[0]
+            out[:, 9] = h_r * (labels[:, 9] - labels[:, 11] / 2) + pad[1]
+            out[:, 10] = w_r * (labels[:, 8] + labels[:, 10] / 2) + pad[0]
+            out[:, 11] = h_r * (labels[:, 9] + labels[:, 11] / 2) + pad[1]
+            out[:, 12:20:2] = w_r * labels[:, 12:20:2] + pad[0]
+            out[:, 13:20:2] = h_r * labels[:, 13:20:2] + pad[1]
+            labels = out
+        return img, labels, shapes
 
-            if self.augment and random.random() < hyp.get("generate", 0):
-                img, labels = warp_into_image(img, labels, self.gen)
-            if self.augment:
-                img, labels = random_affine(
-                    img, labels, degrees=hyp.get("degrees", 0),
-                    translate=hyp.get("translate", 0.1),
-                    scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0),
-                    new_shape=(self.img_size, self.img_size))
-
-        # pixel -> normalized cxcywh + corners (datasets.py:176-207)
+    def _normalize_and_pad(self, img, labels):
+        """Pixel labels -> normalized cxcywh+corners, pad to MAX_BOXES, and
+        BGR -> RGB (the tail of __getitem__, shared with the rect path)."""
         if len(labels):
             h, w = img.shape[:2]
             labels[:, [8, 10]] = labels[:, [8, 10]].clip(0, w - 1e-3)
@@ -215,14 +207,60 @@ class TrainValDataset:
             out[:, 12:20:2] = labels[:, 12:20:2] / w
             out[:, 13:20:2] = labels[:, 13:20:2] / h
             labels = out
+        padded, mask = self._pad(labels if len(labels) else np.zeros(
+            (0, 20), np.float32))
+        rgb = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB, keep HWC
+        return rgb, padded, mask
+
+    def get_rect(self, index, shape_hw):
+        """One rect-val item letterboxed to the batch shape (reference
+        rect-batching semantics, datasets.py:576-601)."""
+        img, labels, shapes = self._letterboxed_item(index, tuple(shape_hw))
+        rgb, padded, mask = self._normalize_and_pad(img, labels)
+        return rgb, padded, mask, self.img_paths[index], shapes
+
+    def image_shape(self, index):
+        """(h0, w0) without decoding pixels (PIL header read; cv2 fallback)."""
+        try:
+            from PIL import Image
+
+            with Image.open(self.img_paths[index]) as im:
+                return im.size[1], im.size[0]
+        except Exception:  # noqa: BLE001
+            im = cv2.imread(self.img_paths[index])
+            return im.shape[:2]
+
+    def __getitem__(self, index):
+        hyp = self.hyp
+        if self.augment and random.random() < hyp.get("mosaic", 0):
+            img, labels = self.get_mosaic(index)
+            shapes = None
+            if random.random() < hyp.get("mixup", 0):
+                img2, labels2 = self.get_mosaic(
+                    random.randint(0, len(self.img_paths) - 1))
+                img, labels = mixup(img, labels, img2, labels2)
+            if random.random() < hyp.get("generate", 0):
+                img, labels = warp_into_image(img, labels, self.gen)
+            if random.random() < hyp.get("gen_paste", 0):
+                img, labels = paste_plates(img, labels, self.gen)
+        else:
+            img, labels, shapes = self._letterboxed_item(index, self.img_size)
+
+            if self.augment and random.random() < hyp.get("generate", 0):
+                img, labels = warp_into_image(img, labels, self.gen)
+            if self.augment:
+                img, labels = random_affine(
+                    img, labels, degrees=hyp.get("degrees", 0),
+                    translate=hyp.get("translate", 0.1),
+                    scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0),
+                    new_shape=(self.img_size, self.img_size))
 
         if self.augment:
             augment_hsv(img, hgain=hyp.get("hsv_h", 0.015),
                         sgain=hyp.get("hsv_s", 0.7), vgain=hyp.get("hsv_v", 0.4))
 
-        padded, mask = self._pad(labels if len(labels) else np.zeros((0, 20),
-                                                                     np.float32))
-        rgb = np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB, keep HWC
+        # pixel -> normalized cxcywh + corners (datasets.py:176-207)
+        rgb, padded, mask = self._normalize_and_pad(img, labels)
         return rgb, padded, mask, self.img_paths[index], shapes
 
 
@@ -259,18 +297,62 @@ class _Loader:
             yield collate_batch(batch)
 
 
+class RectValLoader:
+    """Rect-batched validation (--rect compat mode): aspect-sorted batches
+    letterboxed to per-batch shapes with the reference's pad-0.5 stride
+    rounding (datasets.py:576-601, evaler.py:90-98) — but shapes are
+    quantized UP to multiples of `quantum` so XLA compiles a small bounded
+    set of programs instead of one per unique aspect ratio."""
+
+    def __init__(self, dataset: TrainValDataset, batch_size: int,
+                 img_size: int, stride: int = 32, pad: float = 0.5,
+                 quantum: int = 64):
+        self.ds = dataset
+        self.bs = batch_size
+        n = len(dataset)
+        shapes = np.array([dataset.image_shape(i) for i in range(n)],
+                          np.float64)  # (n, 2) h, w
+        ar = shapes[:, 0] / shapes[:, 1]
+        self.order = np.argsort(ar)
+        self.batch_shapes = []
+        self.batches = []
+        for b0 in range(0, n, batch_size):
+            idxs = self.order[b0:b0 + batch_size]
+            ari = ar[idxs]
+            mini, maxi = float(ari.min()), float(ari.max())
+            shape = [1.0, 1.0]
+            if maxi < 1:
+                shape = [maxi, 1.0]
+            elif mini > 1:
+                shape = [1.0, 1.0 / mini]
+            hw = np.ceil(np.array(shape) * img_size / stride + pad) * stride
+            hw = (np.ceil(hw / quantum) * quantum).astype(int)  # bounded set
+            self.batches.append(idxs)
+            self.batch_shapes.append((int(hw[0]), int(hw[1])))
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        for idxs, shape in zip(self.batches, self.batch_shapes):
+            yield collate_batch([self.ds.get_rect(i, shape) for i in idxs])
+
+
 def create_dataloader(path, img_size, batch_size, hyp=None, augment=False,
                       workers=8, shuffle=None, drop_last=None, task="train",
-                      max_boxes: int = MAX_BOXES, seed=None):
+                      max_boxes: int = MAX_BOXES, seed=None,
+                      process_shard=None):
     """Multiprocess host pipeline (reference data_load.py:14). Training drops
-    the last partial batch so every device step has a fixed shape."""
+    the last partial batch so every device step has a fixed shape.
+    `batch_size` here is PER HOST; pass process_shard=(rank, world) under
+    multi-host training so each host loads a disjoint dataset slice."""
     if shuffle is None:
         shuffle = task == "train"
     if drop_last is None:
         drop_last = task == "train"
     dataset = TrainValDataset(path, img_size=img_size, augment=augment,
                               hyp=hyp, task=task, max_boxes=max_boxes,
-                              seed=seed)
+                              seed=seed, process_shard=process_shard)
     if workers > 0:
         try:
             from torch.utils.data import DataLoader

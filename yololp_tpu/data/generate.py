@@ -333,14 +333,21 @@ def warp_into_image(img: np.ndarray, labels: np.ndarray,
 
 
 def paste_plates(img: np.ndarray, labels: np.ndarray, gen: PlateGenerator,
-                 rng=None, min_num=0, max_num=3, ratio_min=0.1, ratio_max=0.4):
+                 rng=None, min_num=0, max_num=3, ratio_min=0.1, ratio_max=0.4,
+                 masked=True):
     """Paste fresh plates into non-overlapping regions, appending labels
-    (datasets.py:441 get_paste_generate). labels: (n, 20) pixel coords."""
+    (datasets.py:441 get_paste_generate). labels: (n, 20) pixel coords.
+
+    masked=True blends only the plate quad (feathered) so the scene shows
+    through around it — the reference pastes the full rectangular patch, but
+    its patch background is a real env photo; ours is procedural, and a hard
+    rectangular seam would teach the detector 'noise rectangle == plate'.
+    """
     rng = rng or gen.rng
     img_h, img_w = img.shape[:2]
     num = int(rng.integers(min_num, max_num + 1))
     for _ in range(num):
-        plate, label, _ = gen.generate()
+        plate, label, mask = gen.generate()
         ph, pw = plate.shape[:2]
         ratio = rng.uniform(ratio_min, ratio_max)
         w = max(int(img_w * ratio), 8)
@@ -348,6 +355,7 @@ def paste_plates(img: np.ndarray, labels: np.ndarray, gen: PlateGenerator,
         if h >= img_h or w >= img_w:
             continue
         plate = cv2.resize(plate, (w, h), interpolation=cv2.INTER_LINEAR)
+        mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_LINEAR)
         scale = np.float32([w / pw, h / ph] * 6)
         label = label.copy()
         label[0, 8:20] *= scale
@@ -365,7 +373,15 @@ def paste_plates(img: np.ndarray, labels: np.ndarray, gen: PlateGenerator,
                     overlap = True
                     break
             if not overlap:
-                img[lt_y:lt_y + h, lt_x:lt_x + w] = plate
+                roi = img[lt_y:lt_y + h, lt_x:lt_x + w]
+                if masked:
+                    a = cv2.GaussianBlur(mask, (0, 0), 1.0)
+                    a = a.astype(np.float32)[..., None] / 255.0
+                    blended = roi.astype(np.float32) * (1 - a) \
+                        + plate.astype(np.float32) * a
+                    img[lt_y:lt_y + h, lt_x:lt_x + w] = blended.astype(np.uint8)
+                else:
+                    img[lt_y:lt_y + h, lt_x:lt_x + w] = plate
                 shifted = label.copy()
                 shifted[0, 8:20] += np.float32([lt_x, lt_y] * 6)
                 shifted[0, 8:20] = shifted[0, 8:20].clip(
