@@ -88,6 +88,41 @@ def test_rect_val_loader_shapes_and_labels(tmp_path):
     assert any(h < w for h, w in ar_shapes)
 
 
+def test_native_val_loader_matches_standard_loader(tmp_path):
+    """NativeValLoader (C++ batch decode+letterbox, cv2 fallback) must
+    produce the same images and labels as the per-image python val path."""
+    from yololp_tpu.data.datasets import NativeValLoader, _Loader
+
+    root = str(tmp_path)
+    os.makedirs(f"{root}/images/val", exist_ok=True)
+    os.makedirs(f"{root}/labels/val", exist_ok=True)
+    row = [3, 5, 1, 2, 3, 4, 5, 36, 0.5, 0.5, 0.4, 0.2,
+           0.3, 0.4, 0.3, 0.6, 0.7, 0.6, 0.7, 0.4]
+    for i, (h, w) in enumerate([(480, 640), (600, 400), (320, 320)]):
+        # smooth content: isolates pipeline differences from interpolation-
+        # kernel noise (AREA vs LINEAR differ wildly on white noise)
+        gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+        gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+        img = np.stack([gy + 0 * gx, 0 * gy + gx, (gy + gx) / 2],
+                       -1).astype(np.uint8)
+        cv2.imwrite(f"{root}/images/val/n{i}.jpg", img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 98])
+        with open(f"{root}/labels/val/n{i}.txt", "w") as f:
+            f.write(" ".join(str(v) for v in row))
+    ds = TrainValDataset(f"{root}/images/val", img_size=320, augment=False,
+                         task="val")
+    std = list(_Loader(ds, 2, shuffle=False, drop_last=False))
+    nat = list(NativeValLoader(ds, 2, 320))
+    assert len(std) == len(nat)
+    for (si, sl, sm, sp, _), (ni, nl, nm, np_, _) in zip(std, nat):
+        assert sp == np_
+        np.testing.assert_array_equal(sm, nm)
+        np.testing.assert_allclose(sl, nl, atol=5e-3)
+        # pixel content matches up to jpeg/resize rounding
+        diff = np.abs(si.astype(np.int16) - ni.astype(np.int16)).mean()
+        assert diff < 4.0, diff
+
+
 def test_identity_affine_preserves_labels():
     img = np.full((320, 320, 3), 120, np.uint8)
     labels = np.zeros((1, 20), np.float32)

@@ -35,6 +35,9 @@ def get_args_parser():
     p.add_argument("--rect", action="store_true",
                    help="reference-protocol rect-batched val (aspect-sorted "
                         "batches, pad 0.5; quantized shapes on TPU)")
+    p.add_argument("--native-preproc", action="store_true",
+                   help="native C++ threaded batch decode+letterbox for the "
+                        "val loader (plain square protocol only)")
     p.add_argument("--synthetic-data", type=str, default=None,
                    help="path to a make_synthetic_dataset root (smoke/demo)")
     p.add_argument("--int8", action="store_true",
@@ -134,7 +137,8 @@ def main(args=None):
         img_size=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, half=args.half, workers=args.workers,
         eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task,
-        return_preds=args.save_json, run_fn=run_fn, rect=args.rect)
+        return_preds=args.save_json, run_fn=run_fn, rect=args.rect,
+        native=args.native_preproc)
     if args.save_json:
         results, speed, (preds, targets, paths) = out
         from yololp_tpu.utils.coco import (

@@ -45,8 +45,19 @@ class Evaler:
         self.eval_hyp = eval_hyp or {}
         self.speed_result = np.zeros(4)  # n, pre ms, infer ms, post ms
 
-    def init_data(self, task: str = "val", rect: bool = False):
+    def init_data(self, task: str = "val", rect: bool = False,
+                  native: bool = False):
         path = self.data[task if task in self.data else "val"]
+        if native and not rect and not self.eval_hyp:
+            # native C++ threaded batch decode+letterbox (cv2 fallback);
+            # plain square-letterbox protocol only
+            from yololp_tpu.data.datasets import (
+                NativeValLoader, TrainValDataset)
+
+            dataset = TrainValDataset(path, img_size=self.img_size,
+                                      augment=False, task="val")
+            return NativeValLoader(dataset, self.batch_size,
+                                   self.img_size), dataset
         if rect:
             # reference-protocol compat: aspect-sorted rect batches, pad 0.5
             # (datasets.py:576-601) with shape quantization for bounded
@@ -223,7 +234,7 @@ class Evaler:
 def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
              conf_thres=0.03, iou_thres=0.65, half=True, workers=4,
              eval_hyp=None, task="val", run_fn=None, loader=None,
-             evaler=None, return_preds=False, rect=False):
+             evaler=None, return_preds=False, rect=False, native=False):
     """One-call eval (mirrors tools/eval.py run): returns (results, speed).
     Pass prebuilt (evaler, loader, run_fn taking (variables, images)) to
     reuse one compiled program across repeated evals."""
@@ -232,7 +243,7 @@ def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
                           eval_hyp=eval_hyp)
     ev.speed_result = np.zeros(4)
     if loader is None:
-        loader, _ = ev.init_data(task, rect=rect)
+        loader, _ = ev.init_data(task, rect=rect, native=native)
     if run_fn is None:
         fn = ev.make_infer_fn(model, variables)
     else:
