@@ -138,10 +138,10 @@ _G["晋"] = _compose(
      _h(0.05, 0.95, 0.42)],
     _place(SUN, 0.28, 0.52, 0.72, 0.98))
 _G["蒙"] = _compose(
-    _place(GRASS, 0.1, 0.0, 0.9, 0.2),
-    _place(COVER, 0.05, 0.24, 0.95, 0.42),
-    [_h(0.2, 0.8, 0.48)],
-    _place(PIG, 0.08, 0.5, 0.95, 1.0))
+    _place(GRASS, 0.1, 0.0, 0.9, 0.14),
+    [_h(0.25, 0.75, 0.22)],
+    _place(COVER, 0.05, 0.28, 0.95, 0.42),
+    _place(PIG, 0.1, 0.46, 0.95, 1.0))
 _G["辽"] = _compose(
     [[(0.4, 0.05), (0.95, 0.05), (0.62, 0.35)],
      [(0.62, 0.35), (0.68, 0.52), (0.68, 0.72), (0.55, 0.8)]],
