@@ -1,0 +1,89 @@
+"""Device-cache path: precompute == per-item loader output; the gathered
+train step matches the plain train step bit-for-bit."""
+
+import os.path as osp
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import conftest  # noqa: F401
+from yololp_tpu.core.train_step import init_train_state, make_train_step
+from yololp_tpu.data.datasets import TrainValDataset
+from yololp_tpu.data.device_cache import (
+    DeviceCachedData,
+    make_cached_step,
+    precompute_items,
+)
+from yololp_tpu.data.synthetic import make_synthetic_dataset
+from yololp_tpu.losses.loss import LossConfig
+from yololp_tpu.models import build_model
+from yololp_tpu.solver.build import SolverConfig
+from yololp_tpu.utils.config import Config
+
+IMG = 64
+
+
+def _dataset(tmp_path, n=6):
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=n, n_val=2, img_size=IMG, seed=0)
+    return TrainValDataset(osp.join(root, "images", "train"), img_size=IMG,
+                           augment=False, task="train")
+
+
+def test_precompute_matches_items_and_memoizes(tmp_path):
+    ds = _dataset(tmp_path)
+    imgs, labels, masks = precompute_items(ds, verbose=False)
+    assert imgs.shape == (len(ds), IMG, IMG, 3) and imgs.dtype == np.uint8
+    for i in (0, len(ds) - 1):
+        rgb, lbl, msk, _, _ = ds[i]
+        np.testing.assert_array_equal(imgs[i], rgb)
+        np.testing.assert_array_equal(labels[i], lbl)
+        np.testing.assert_array_equal(masks[i], msk)
+    # second call must hit the on-disk memo (images come back memmapped)
+    imgs2, labels2, _ = precompute_items(ds, verbose=False)
+    assert isinstance(imgs2, np.memmap)
+    np.testing.assert_array_equal(np.asarray(imgs2), np.asarray(imgs))
+    np.testing.assert_array_equal(labels2, labels)
+
+
+def test_epoch_batches_cover_dataset_once(tmp_path):
+    ds = _dataset(tmp_path)
+    cache = DeviceCachedData(ds, seed=1)
+    batches = list(cache.epoch_batches(batch_size=2))
+    assert len(batches) == len(ds) // 2
+    seen = np.concatenate(batches)
+    assert sorted(seen.tolist()) == list(range(len(ds)))
+    # a different epoch reshuffles
+    batches2 = list(cache.epoch_batches(batch_size=2))
+    assert not all(np.array_equal(a, b) for a, b in zip(batches, batches2))
+
+
+def test_cached_step_matches_plain_step(tmp_path):
+    ds = _dataset(tmp_path, n=4)
+    cache = DeviceCachedData(ds, seed=0)
+
+    cfg = Config.named("yololpn")
+    model, variables = build_model(cfg, img_size=(IMG, IMG))
+    loss_cfg = LossConfig(img_size=(IMG, IMG), iou_type="siou")
+    solver = SolverConfig(lr0=0.02, epochs=2, steps_per_epoch=2)
+    step_fn = make_train_step(model, loss_cfg, solver, batch_size=2)
+
+    idxs = np.asarray([2, 0], np.int32)
+    state = init_train_state(variables)
+    s1, total1, items1 = jax.jit(make_cached_step(step_fn))(
+        state, cache.images, cache.labels, cache.masks, jnp.asarray(idxs))
+
+    state = init_train_state(variables)
+    s2, total2, items2 = jax.jit(step_fn)(
+        state, jnp.asarray(cache.host_images[idxs]),
+        jnp.asarray(cache.host_labels[idxs]),
+        jnp.asarray(cache.host_masks[idxs]))
+
+    assert float(total1) == float(total2)
+    np.testing.assert_array_equal(np.asarray(items1), np.asarray(items2))
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    leaves2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

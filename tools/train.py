@@ -45,6 +45,9 @@ def get_args_parser():
     p.add_argument("--fp32", dest="bf16", action="store_false")
     p.add_argument("--data-parallel", action="store_true", default=True,
                    help="shard batches over all local devices")
+    p.add_argument("--cache-device", action="store_true",
+                   help="stage the whole dataset in device HBM and gather "
+                        "batches on-device (no-augmentation runs only)")
     p.add_argument("--synthetic-data", action="store_true",
                    help="generate a small synthetic dataset (smoke/demo)")
     p.add_argument("--synthetic-n", type=int, default=64)

@@ -34,6 +34,29 @@ LOSS_NAMES = ["iou_loss", "cor_loss", "dfl_loss", "cls_loss",
               "pro_loss", "alp_loss", "ads_loss"]
 
 
+class _ReplayLoader:
+    """Caches the wrapped loader's batches in host RAM on the first full
+    pass and replays them afterwards (used for repeated in-training evals
+    when the dataset is small enough to pin, e.g. --cache-device runs)."""
+
+    def __init__(self, loader):
+        self.loader = loader
+        self.cached = None
+
+    def __len__(self):
+        return len(self.cached) if self.cached is not None else len(self.loader)
+
+    def __iter__(self):
+        if self.cached is not None:
+            yield from self.cached
+            return
+        acc = []
+        for batch in self.loader:
+            acc.append(batch)
+            yield batch
+        self.cached = acc
+
+
 class Trainer:
     def __init__(self, args, cfg: Config, data_dict: Dict, device_mesh=None):
         self.args = args
@@ -62,11 +85,33 @@ class Trainer:
                  if self.n_procs > 1 else None)
 
         hyp = dict(cfg["data_aug"])
-        self.train_loader, self.train_dataset = create_dataloader(
-            data_dict["train"], self.img_size, host_batch, hyp=hyp,
-            augment=True, workers=int(args.workers), task="train",
-            seed=getattr(args, "seed", 0), process_shard=shard)
-        self.steps_per_epoch = max(len(self.train_loader), 1)
+        self.cache = None
+        if getattr(args, "cache_device", False):
+            # HBM-resident dataset: batches gathered on-device by index (see
+            # data/device_cache.py). Deterministic no-aug protocol only.
+            assert self.n_procs == 1 and self.mesh is None, \
+                "--cache-device is a single-process path"
+            aug_on = [k for k, v in hyp.items()
+                      if k != "test_load_size" and float(v or 0) != 0.0]
+            assert not aug_on, (
+                f"--cache-device requires all augmentations off, got {aug_on}")
+            from yololp_tpu.data.datasets import TrainValDataset
+            from yololp_tpu.data.device_cache import DeviceCachedData
+
+            self.train_dataset = TrainValDataset(
+                data_dict["train"], img_size=self.img_size, augment=False,
+                task="train")
+            self.cache = DeviceCachedData(self.train_dataset,
+                                          seed=getattr(args, "seed", 0))
+            self.train_loader = None
+            self.steps_per_epoch = max(
+                self.cache.steps_per_epoch(host_batch), 1)
+        else:
+            self.train_loader, self.train_dataset = create_dataloader(
+                data_dict["train"], self.img_size, host_batch, hyp=hyp,
+                augment=True, workers=int(args.workers), task="train",
+                seed=getattr(args, "seed", 0), process_shard=shard)
+            self.steps_per_epoch = max(len(self.train_loader), 1)
 
         dtype = jnp.bfloat16 if getattr(args, "bf16", True) else jnp.float32
         self.model = Model(config=cfg, npro=self.npro, nalp=self.nalp,
@@ -155,6 +200,10 @@ class Trainer:
                 step_fn,
                 in_shardings=(repl, data_sh, data_sh, data_sh),
                 out_shardings=(repl, repl, repl))
+        elif self.cache is not None:
+            from yololp_tpu.data.device_cache import make_cached_step
+
+            self.step_fn = jax.jit(make_cached_step(step_fn))
         else:
             assert self.n_procs == 1, "multi-host training requires a mesh"
             self.step_fn = jax.jit(step_fn)
@@ -240,6 +289,9 @@ class Trainer:
             ev = Evaler(self.data_dict, self.batch_size, self.img_size,
                         workers=int(self.args.workers))
             loader, _ = ev.init_data("val")
+            if self.cache is not None:
+                # decode the val set once, replay host batches on later evals
+                loader = _ReplayLoader(loader)
             # variables-as-argument: ONE compiled eval program for all epochs
             run_fn = ev.make_infer_fn(eval_model)
             self._eval_cache = (eval_model, ev, loader, run_fn)
@@ -311,6 +363,23 @@ class Trainer:
 
     # ---- main loop ----
 
+    def _epoch_batches(self):
+        """Yields (step_fn args after state, thunk returning the host batch
+        for visualization) for one epoch, from either the HBM-resident cache
+        (index-gather args) or the host dataloader (full tensors). The vis
+        thunk keeps the per-step host work at ~zero in cache mode."""
+        if self.cache is not None:
+            c = self.cache
+            for idxs in c.epoch_batches(self.batch_size):
+                yield ((c.images, c.labels, c.masks, jnp.asarray(idxs)),
+                       lambda i=idxs: (c.host_images[i], c.host_labels[i],
+                                       c.host_masks[i]))
+        else:
+            for imgs, labels, masks, _, _ in self.train_loader:
+                yield ((self._to_global(imgs), self._to_global(labels),
+                        self._to_global(masks)),
+                       lambda b=(imgs, labels, masks): b)
+
     def train(self, resume_path: Optional[str] = None):
         start_epoch = self.resume(resume_path) if resume_path else 0
         stop_aug_epoch = self.epochs - int(
@@ -319,23 +388,21 @@ class Trainer:
         eval_final_n = int(getattr(self.args, "heavy_eval_range", 50))
 
         for epoch in range(start_epoch, self.epochs):
-            if epoch == stop_aug_epoch:
+            if epoch == stop_aug_epoch and self.train_loader is not None:
                 self.train_dataset.disable_heavy_aug()
             t0 = time.time()
             items_sum = None  # accumulated ON DEVICE: a host read per step
             n_steps = 0       # would sync the async dispatch pipeline
-            for imgs, labels, masks, _, _ in self.train_loader:
+            for step_args, vis_batch in self._epoch_batches():
                 if n_steps == 0 and epoch % 10 == 0 and self.is_main:
                     # train-batch visualization (engine.py:449 write_tbimg)
                     from yololp_tpu.utils.visualize import save_train_batch_vis
 
                     save_train_batch_vis(
-                        imgs, labels, masks,
+                        *vis_batch(),
                         osp.join(self.save_dir, "vis",
                                  f"train_batch_e{epoch}.jpg"))
-                self.state, total, items = self.step_fn(
-                    self.state, self._to_global(imgs),
-                    self._to_global(labels), self._to_global(masks))
+                self.state, total, items = self.step_fn(self.state, *step_args)
                 items_sum = items if items_sum is None else items_sum + items
                 n_steps += 1
             mean_items = (np.asarray(items_sum) if items_sum is not None
