@@ -13,6 +13,7 @@ from yololp_tpu.core.train_step import init_train_state, make_train_step
 from yololp_tpu.data.datasets import TrainValDataset
 from yololp_tpu.data.device_cache import (
     DeviceCachedData,
+    make_cached_epoch,
     make_cached_step,
     precompute_items,
 )
@@ -70,9 +71,10 @@ def test_cached_step_matches_plain_step(tmp_path):
     solver = SolverConfig(lr0=0.02, epochs=2, steps_per_epoch=2)
     step_fn = make_train_step(model, loss_cfg, solver, batch_size=2)
 
+    assert cache.images.ndim == 2  # flat staging layout (N, H*W*3)
     idxs = np.asarray([2, 0], np.int32)
     state = init_train_state(variables)
-    s1, total1, items1 = jax.jit(make_cached_step(step_fn))(
+    s1, total1, items1 = jax.jit(make_cached_step(step_fn, cache.img_shape))(
         state, cache.images, cache.labels, cache.masks, jnp.asarray(idxs))
 
     state = init_train_state(variables)
@@ -87,3 +89,24 @@ def test_cached_step_matches_plain_step(tmp_path):
     leaves2 = jax.tree_util.tree_leaves(s2.params)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # whole-epoch scan == the same steps applied sequentially
+    idx_mat = np.asarray([[2, 0], [1, 3]], np.int32)
+    state = init_train_state(variables)
+    se, items_sum = jax.jit(make_cached_epoch(step_fn, cache.img_shape))(
+        state, cache.images, cache.labels, cache.masks, jnp.asarray(idx_mat))
+
+    state = init_train_state(variables)
+    step_j = jax.jit(make_cached_step(step_fn, cache.img_shape))
+    acc = None
+    for row in idx_mat:
+        state, _total, items = step_j(state, cache.images, cache.labels,
+                                      cache.masks, jnp.asarray(row))
+        acc = items if acc is None else acc + items
+    np.testing.assert_allclose(np.asarray(items_sum), np.asarray(acc),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(se.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    assert int(se.step) == 2

@@ -201,9 +201,14 @@ class Trainer:
                 in_shardings=(repl, data_sh, data_sh, data_sh),
                 out_shardings=(repl, repl, repl))
         elif self.cache is not None:
-            from yololp_tpu.data.device_cache import make_cached_step
+            from yololp_tpu.data.device_cache import make_cached_epoch
 
-            self.step_fn = jax.jit(make_cached_step(step_fn))
+            # whole-epoch scan program. NOT donating the state: at epoch 0
+            # params/ema_params alias the same buffers (init_train_state,
+            # resume) and XLA rejects donating one buffer twice.
+            self.epoch_fn = jax.jit(
+                make_cached_epoch(step_fn, self.cache.img_shape))
+            self.step_fn = None
         else:
             assert self.n_procs == 1, "multi-host training requires a mesh"
             self.step_fn = jax.jit(step_fn)
@@ -363,22 +368,21 @@ class Trainer:
 
     # ---- main loop ----
 
-    def _epoch_batches(self):
-        """Yields (step_fn args after state, thunk returning the host batch
-        for visualization) for one epoch, from either the HBM-resident cache
-        (index-gather args) or the host dataloader (full tensors). The vis
-        thunk keeps the per-step host work at ~zero in cache mode."""
-        if self.cache is not None:
-            c = self.cache
-            for idxs in c.epoch_batches(self.batch_size):
-                yield ((c.images, c.labels, c.masks, jnp.asarray(idxs)),
-                       lambda i=idxs: (c.host_images[i], c.host_labels[i],
-                                       c.host_masks[i]))
-        else:
-            for imgs, labels, masks, _, _ in self.train_loader:
-                yield ((self._to_global(imgs), self._to_global(labels),
-                        self._to_global(masks)),
-                       lambda b=(imgs, labels, masks): b)
+    def _run_cached_epoch(self, epoch: int):
+        """One whole-epoch scan dispatch over the HBM-resident dataset;
+        returns (mean loss items, steps run)."""
+        c = self.cache
+        idx_mat = c.epoch_index_matrix(self.batch_size)
+        if epoch % 10 == 0 and self.is_main:
+            from yololp_tpu.utils.visualize import save_train_batch_vis
+
+            i0 = idx_mat[0]
+            save_train_batch_vis(
+                c.host_images[i0], c.host_labels[i0], c.host_masks[i0],
+                osp.join(self.save_dir, "vis", f"train_batch_e{epoch}.jpg"))
+        self.state, items_sum = self.epoch_fn(
+            self.state, c.images, c.labels, c.masks, jnp.asarray(idx_mat))
+        return np.asarray(items_sum) / max(len(idx_mat), 1), len(idx_mat)
 
     def train(self, resume_path: Optional[str] = None):
         start_epoch = self.resume(resume_path) if resume_path else 0
@@ -391,22 +395,29 @@ class Trainer:
             if epoch == stop_aug_epoch and self.train_loader is not None:
                 self.train_dataset.disable_heavy_aug()
             t0 = time.time()
-            items_sum = None  # accumulated ON DEVICE: a host read per step
-            n_steps = 0       # would sync the async dispatch pipeline
-            for step_args, vis_batch in self._epoch_batches():
-                if n_steps == 0 and epoch % 10 == 0 and self.is_main:
-                    # train-batch visualization (engine.py:449 write_tbimg)
-                    from yololp_tpu.utils.visualize import save_train_batch_vis
+            if self.cache is not None:
+                mean_items, n_steps = self._run_cached_epoch(epoch)
+            else:
+                items_sum = None  # accumulated ON DEVICE: a host read per
+                n_steps = 0       # step would sync the dispatch pipeline
+                for imgs, labels, masks, _, _ in self.train_loader:
+                    if n_steps == 0 and epoch % 10 == 0 and self.is_main:
+                        # train-batch vis (engine.py:449 write_tbimg)
+                        from yololp_tpu.utils.visualize import \
+                            save_train_batch_vis
 
-                    save_train_batch_vis(
-                        *vis_batch(),
-                        osp.join(self.save_dir, "vis",
-                                 f"train_batch_e{epoch}.jpg"))
-                self.state, total, items = self.step_fn(self.state, *step_args)
-                items_sum = items if items_sum is None else items_sum + items
-                n_steps += 1
-            mean_items = (np.asarray(items_sum) if items_sum is not None
-                          else np.zeros(7)) / max(n_steps, 1)
+                        save_train_batch_vis(
+                            imgs, labels, masks,
+                            osp.join(self.save_dir, "vis",
+                                     f"train_batch_e{epoch}.jpg"))
+                    self.state, total, items = self.step_fn(
+                        self.state, self._to_global(imgs),
+                        self._to_global(labels), self._to_global(masks))
+                    items_sum = (items if items_sum is None
+                                 else items_sum + items)
+                    n_steps += 1
+                mean_items = (np.asarray(items_sum) if items_sum is not None
+                              else np.zeros(7)) / max(n_steps, 1)
             record = {"epoch": epoch, "step": int(self.state.step),
                       "epoch_time_s": round(time.time() - t0, 1),
                       **{f"train/{k}": float(v)

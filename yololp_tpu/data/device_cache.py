@@ -78,9 +78,13 @@ class DeviceCachedData:
             precompute_items(dataset)
         host_labels, host_masks = self.host_labels, self.host_masks
         self.n = len(self.host_images)
+        self.img_shape = self.host_images.shape[1:]  # (H, W, 3)
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
             else jax.device_put
-        self.images = put(self.host_images)
+        # stage images FLAT (N, H*W*3): gathering a 4-D uint8 array makes
+        # XLA insert a whole-array layout copy inside the program (observed:
+        # +7.4GB HBM -> OOM); the 2-D tiled layout is gather-native
+        self.images = put(self.host_images.reshape(self.n, -1))
         self.labels = put(host_labels)
         self.masks = put(host_masks)
         self._rng = np.random.default_rng(seed)
@@ -91,16 +95,52 @@ class DeviceCachedData:
         for b0 in range(0, self.n - batch_size + 1, batch_size):
             yield perm[b0:b0 + batch_size].astype(np.int32)
 
+    def epoch_index_matrix(self, batch_size: int) -> np.ndarray:
+        """One epoch's shuffled batch indices as an (S, B) int32 matrix —
+        the only per-epoch host->device transfer in the scan path."""
+        s = self.steps_per_epoch(batch_size)
+        perm = self._rng.permutation(self.n)[: s * batch_size]
+        return perm.reshape(s, batch_size).astype(np.int32)
+
     def steps_per_epoch(self, batch_size: int) -> int:
         return self.n // batch_size
 
 
-def make_cached_step(step_fn):
+def make_cached_step(step_fn, img_shape):
     """Wrap train_step so the batch gather happens inside jit:
-    cached_step(state, images_all, labels_all, masks_all, idxs)."""
+    cached_step(state, images_all, labels_all, masks_all, idxs).
+    images_all is the FLAT (N, H*W*3) staging layout; img_shape=(H, W, C)
+    restores the batch to NHWC after the gather."""
 
     def cached_step(state, images_all, labels_all, masks_all, idxs):
-        return step_fn(state, images_all[idxs], labels_all[idxs],
-                       masks_all[idxs])
+        images = images_all[idxs].reshape((idxs.shape[0],) + tuple(img_shape))
+        return step_fn(state, images, labels_all[idxs], masks_all[idxs])
 
     return cached_step
+
+
+def make_cached_epoch(step_fn, img_shape):
+    """A WHOLE training epoch as one XLA program: lax.scan of the train
+    step over an (S, B) index matrix, gathering each batch from the
+    HBM-resident dataset. One host dispatch + one 7-float readback per
+    epoch — per-step Python dispatch over a remote-TPU tunnel costs more
+    than the step itself (measured ~60ms/step vs ~18ms compute).
+
+    epoch_fn(state, images_all, labels_all, masks_all, idx_mat)
+      -> (state, loss_items_sum)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cached_step = make_cached_step(step_fn, img_shape)
+
+    def epoch_fn(state, images_all, labels_all, masks_all, idx_mat):
+        def body(st, idxs):
+            st, _total, items = cached_step(
+                st, images_all, labels_all, masks_all, idxs)
+            return st, items
+
+        state, items_all = jax.lax.scan(body, state, idx_mat)
+        return state, jnp.sum(items_all, axis=0)
+
+    return epoch_fn
