@@ -13,11 +13,17 @@ Usage: python _multihost_worker.py <coordinator> <num_procs> <proc_id>
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-         if "xla_force_host_platform_device_count" not in f]
-os.environ["XLA_FLAGS"] = " ".join(
-    flags + ["--xla_force_host_platform_device_count=1"])
+if __name__ == "__main__":
+    # Worker-process env setup: must happen before jax import. Guarded so
+    # that IMPORTING this module for its helpers (test_multihost.py does)
+    # never mutates the importer's os.environ — an inherited
+    # device_count=1 would poison every later subprocess that builds a
+    # virtual CPU mesh (this bit tests/test_parallel.py once).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    os.environ["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=1"])
 
 import jax  # noqa: E402
 
