@@ -25,8 +25,11 @@
 namespace {
 
 // decode one JPEG/PNG buffer -> letterboxed RGB uint8 into out (size*size*3)
-bool process_one(const uint8_t* data, int64_t len, int size, uint8_t* out,
-                 float* ratio, float* pad_w, float* pad_h) {
+// scaleup=0 caps the resize ratio at 1 (the val protocol: never upscale,
+// matching python letterbox(scaleup=False)); scaleup=1 matches the infer
+// protocol (small images are upscaled to fill the square).
+bool process_one(const uint8_t* data, int64_t len, int size, int scaleup,
+                 uint8_t* out, float* ratio, float* pad_w, float* pad_h) {
   cv::Mat raw(1, static_cast<int>(len), CV_8UC1,
               const_cast<uint8_t*>(data));
   cv::Mat bgr = cv::imdecode(raw, cv::IMREAD_COLOR);
@@ -34,6 +37,7 @@ bool process_one(const uint8_t* data, int64_t len, int size, uint8_t* out,
 
   float r = std::min(size / static_cast<float>(bgr.rows),
                      size / static_cast<float>(bgr.cols));
+  if (!scaleup) r = std::min(r, 1.0f);
   int new_w = static_cast<int>(std::lround(bgr.cols * r));
   int new_h = static_cast<int>(std::lround(bgr.rows * r));
   cv::Mat resized;
@@ -62,8 +66,9 @@ extern "C" {
 // Returns number of successfully decoded images.
 int yololp_decode_letterbox_batch(const uint8_t* jpeg_data,
                                   const int64_t* offsets, int n, int size,
-                                  int num_threads, uint8_t* out, float* ratios,
-                                  float* pads_w, float* pads_h) {
+                                  int scaleup, int num_threads, uint8_t* out,
+                                  float* ratios, float* pads_w,
+                                  float* pads_h) {
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
   }
@@ -74,8 +79,8 @@ int yololp_decode_letterbox_batch(const uint8_t* jpeg_data,
   auto worker = [&](int tid) {
     for (int i = tid; i < n; i += num_threads) {
       ok[i] = process_one(jpeg_data + offsets[i], offsets[i + 1] - offsets[i],
-                          size, out + i * img_bytes, &ratios[i], &pads_w[i],
-                          &pads_h[i])
+                          size, scaleup, out + i * img_bytes, &ratios[i],
+                          &pads_w[i], &pads_h[i])
                   ? 1
                   : 0;
       if (!ok[i]) {

@@ -98,7 +98,10 @@ def test_native_val_loader_matches_standard_loader(tmp_path):
     os.makedirs(f"{root}/labels/val", exist_ok=True)
     row = [3, 5, 1, 2, 3, 4, 5, 36, 0.5, 0.5, 0.4, 0.2,
            0.3, 0.4, 0.3, 0.6, 0.7, 0.6, 0.7, 0.4]
-    for i, (h, w) in enumerate([(480, 640), (600, 400), (320, 320)]):
+    # (200, 260) is SMALLER than img_size: catches scaleup mismatches (the
+    # val protocol never upscales; an uncapped native ratio would differ)
+    for i, (h, w) in enumerate([(480, 640), (600, 400), (320, 320),
+                                (200, 260)]):
         # smooth content: isolates pipeline differences from interpolation-
         # kernel noise (AREA vs LINEAR differ wildly on white noise)
         gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]

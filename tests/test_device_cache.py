@@ -1,6 +1,7 @@
 """Device-cache path: precompute == per-item loader output; the gathered
 train step matches the plain train step bit-for-bit."""
 
+import os
 import os.path as osp
 
 import numpy as np
@@ -110,3 +111,62 @@ def test_cached_step_matches_plain_step(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
     assert int(se.step) == 2
+
+
+def test_precompute_invalidates_on_content_change(tmp_path):
+    """Regenerating a dataset IN PLACE (same count, new pixels/labels) must
+    not serve stale cached arrays (memo keyed by content fingerprint)."""
+    import time
+
+    root = str(tmp_path / "synth")
+    make_synthetic_dataset(root, n_train=4, n_val=2, img_size=IMG, seed=0)
+    ds = TrainValDataset(osp.join(root, "images", "train"), img_size=IMG,
+                         augment=False, task="train")
+    imgs0, _, _ = precompute_items(ds, verbose=False)
+    imgs0 = np.asarray(imgs0).copy()
+    time.sleep(0.01)  # ensure distinct mtimes
+    make_synthetic_dataset(root, n_train=4, n_val=2, img_size=IMG, seed=7)
+    # drop the label cache too (keyed by path list, content changed on disk)
+    os.remove(osp.join(root, "images", "train", ".yololp_tpu_cache.json"))
+    ds2 = TrainValDataset(osp.join(root, "images", "train"), img_size=IMG,
+                          augment=False, task="train")
+    imgs1, _, _ = precompute_items(ds2, verbose=False)
+    assert not np.array_equal(imgs0, np.asarray(imgs1))
+    rgb, _, _, _, _ = ds2[0]
+    np.testing.assert_array_equal(np.asarray(imgs1[0]), rgb)
+
+
+def test_cached_epoch_sharded_matches_unsharded(tmp_path):
+    """The mesh path (dataset replicated, batch gather constrained to the
+    data axis) must compute exactly the unsharded result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    ds = _dataset(tmp_path, n=4)
+    cfg = Config.named("yololpn")
+    model, variables = build_model(cfg, img_size=(IMG, IMG))
+    loss_cfg = LossConfig(img_size=(IMG, IMG), iou_type="siou")
+    solver = SolverConfig(lr0=0.02, epochs=2, steps_per_epoch=2)
+    step_fn = make_train_step(model, loss_cfg, solver, batch_size=2)
+    idx_mat = np.asarray([[2, 0], [1, 3]], np.int32)
+
+    cache = DeviceCachedData(ds, seed=0)
+    state = init_train_state(variables)
+    s_ref, items_ref = jax.jit(make_cached_epoch(step_fn, cache.img_shape))(
+        state, cache.images, cache.labels, cache.masks, jnp.asarray(idx_mat))
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    cache_sh = DeviceCachedData(ds, seed=0, sharding=repl)
+    state = jax.device_put(init_train_state(variables), repl)
+    s_sh, items_sh = jax.jit(
+        make_cached_epoch(step_fn, cache_sh.img_shape, data_sh))(
+        state, cache_sh.images, cache_sh.labels, cache_sh.masks,
+        jnp.asarray(idx_mat))
+
+    np.testing.assert_allclose(np.asarray(items_sh), np.asarray(items_ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_sh.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

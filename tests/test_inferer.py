@@ -56,7 +56,16 @@ def test_infer_batched_uses_encoded_image_path(tmp_path):
                     rng.integers(0, 255, (200, 260, 3), np.uint8))
     inferer = Inferer(str(src), None, "yololpn", img_size=128, half=False,
                       conf_thres=0.009, max_det=5)
-    results = inferer.infer_batched(str(tmp_path / "out"), batch_size=2)
+    calls = []
+    orig = Inferer.detect_batch_encoded
+    try:
+        Inferer.detect_batch_encoded = (
+            lambda self, bufs: calls.append(len(bufs)) or orig(self, bufs))
+        results = inferer.infer_batched(str(tmp_path / "out"), batch_size=2)
+    finally:
+        Inferer.detect_batch_encoded = orig
     assert len(results) == 3
     assert all(d.shape[1] == 28 for _, d in results)
-    assert native_available() or True  # exercised either way; native when built
+    # the still-image stream must actually go through the encoded-bytes
+    # path (native C++ batch decode when built, cv2 fallback otherwise)
+    assert sum(calls) == 4  # 2 + padded tail batch of 2

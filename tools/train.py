@@ -89,12 +89,27 @@ def main(args=None):
            else Config.named(args.conf_file))
 
     if args.synthetic_data:
+        import jax
+
         from yololp_tpu.data.synthetic import make_synthetic_dataset
 
         root = osp.join(args.output_dir, "synthetic_data")
-        data_dict = make_synthetic_dataset(
-            root, n_train=args.synthetic_n, n_val=max(args.synthetic_n // 4, 4),
-            img_size=args.img_size, seed=args.seed)
+        if jax.process_index() == 0:
+            # single writer: concurrent processes generating into the same
+            # root would race on the same image files (half-written JPEGs)
+            data_dict = make_synthetic_dataset(
+                root, n_train=args.synthetic_n,
+                n_val=max(args.synthetic_n // 4, 4),
+                img_size=args.img_size, seed=args.seed)
+        else:
+            data_dict = {"train": osp.join(root, "images", "train"),
+                         "val": osp.join(root, "images", "val"),
+                         "test": osp.join(root, "images", "val"),
+                         "is_coco": False, "npro": 31, "nalp": 24, "nads": 37}
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("synthetic_data_written")
     else:
         assert args.data_path, "--data-path or --synthetic-data required"
         data_dict = load_dataset_yaml(args.data_path)
@@ -111,7 +126,7 @@ def main(args=None):
 
         mesh = Mesh(np.asarray(jax.devices()), ("data",))
         assert args.batch_size % len(jax.devices()) == 0, \
-            "global batch size must divide the device count"
+            "device count must divide the global batch size"
 
     trainer = Trainer(args, cfg, data_dict, device_mesh=mesh)
     if args.quant and args.calib:

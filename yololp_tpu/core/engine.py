@@ -79,7 +79,7 @@ class Trainer:
         self.n_procs = jax.process_count()
         self.is_main = jax.process_index() == 0
         assert self.batch_size % self.n_procs == 0, \
-            "global batch size must divide the process count"
+            "process count must divide the global batch size"
         host_batch = self.batch_size // self.n_procs
         shard = ((jax.process_index(), self.n_procs)
                  if self.n_procs > 1 else None)
@@ -89,7 +89,10 @@ class Trainer:
         if getattr(args, "cache_device", False):
             # HBM-resident dataset: batches gathered on-device by index (see
             # data/device_cache.py). Deterministic no-aug protocol only.
-            assert self.n_procs == 1 and self.mesh is None, \
+            # Single-host multi-device works (dataset staged replicated,
+            # batch gather sharded over 'data'); multi-host does not (each
+            # host would need its own staging + a global index protocol).
+            assert self.n_procs == 1, \
                 "--cache-device is a single-process path"
             aug_on = [k for k, v in hyp.items()
                       if k != "test_load_size" and float(v or 0) != 0.0]
@@ -98,11 +101,17 @@ class Trainer:
             from yololp_tpu.data.datasets import TrainValDataset
             from yololp_tpu.data.device_cache import DeviceCachedData
 
+            cache_sh = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                cache_sh = NamedSharding(self.mesh, P())  # replicated
             self.train_dataset = TrainValDataset(
                 data_dict["train"], img_size=self.img_size, augment=False,
                 task="train")
             self.cache = DeviceCachedData(self.train_dataset,
-                                          seed=getattr(args, "seed", 0))
+                                          seed=getattr(args, "seed", 0),
+                                          sharding=cache_sh)
             self.train_loader = None
             self.steps_per_epoch = max(
                 self.cache.steps_per_epoch(host_batch), 1)
@@ -189,7 +198,23 @@ class Trainer:
                                       cfg["model"]["head"].get("distill_weight")
                                       or {}))
         self._data_sh = None
-        if self.mesh is not None:
+        if self.cache is not None:
+            from yololp_tpu.data.device_cache import make_cached_epoch
+
+            # whole-epoch scan program. NOT donating the state: at epoch 0
+            # params/ema_params alias the same buffers (init_train_state,
+            # resume) and XLA rejects donating one buffer twice.
+            batch_sh = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_sh = NamedSharding(self.mesh, P("data"))
+                repl = NamedSharding(self.mesh, P())
+                self.state = jax.device_put(self.state, repl)
+            self.epoch_fn = jax.jit(
+                make_cached_epoch(step_fn, self.cache.img_shape, batch_sh))
+            self.step_fn = None
+        elif self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             data_sh = NamedSharding(self.mesh, P("data"))
@@ -200,15 +225,6 @@ class Trainer:
                 step_fn,
                 in_shardings=(repl, data_sh, data_sh, data_sh),
                 out_shardings=(repl, repl, repl))
-        elif self.cache is not None:
-            from yololp_tpu.data.device_cache import make_cached_epoch
-
-            # whole-epoch scan program. NOT donating the state: at epoch 0
-            # params/ema_params alias the same buffers (init_train_state,
-            # resume) and XLA rejects donating one buffer twice.
-            self.epoch_fn = jax.jit(
-                make_cached_epoch(step_fn, self.cache.img_shape))
-            self.step_fn = None
         else:
             assert self.n_procs == 1, "multi-host training requires a mesh"
             self.step_fn = jax.jit(step_fn)
@@ -277,14 +293,31 @@ class Trainer:
             ema_updates=jnp.asarray(opt.get("ema_updates", 0), jnp.int32),
             step=jnp.asarray(ckpt.get("step", 0), jnp.int32),
             last_opt_step=jnp.asarray(opt.get("last_opt_step", -1), jnp.int32))
+        if self.mesh is not None:
+            # restore the replicated placement (the checkpoint loads as host
+            # arrays; the epoch_fn path has no in_shardings to re-place them)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
         return int(ckpt.get("epoch", -1)) + 1
 
     # ---- eval hook ----
 
     def eval_model(self):
-        variables = fuse_variables_jit(
-            {"params": self.state.ema_params,
-             "batch_stats": self.state.ema_stats})
+        ema = {"params": self.state.ema_params,
+               "batch_stats": self.state.ema_stats}
+        if self.n_procs > 1:
+            # Rank-0 eval must be PROCESS-LOCAL (reference: rank-0 evals the
+            # replicated DDP model). The train state is committed to the
+            # global multi-host mesh; running a jit on it from one process
+            # alone would hang on collectives the other hosts never join.
+            # The state is fully replicated (P()), so device_get gives this
+            # host a complete copy; everything downstream then compiles and
+            # runs on local devices only, while the other hosts' queued
+            # train steps simply wait for process 0 to rejoin.
+            ema = jax.device_get(ema)
+        variables = fuse_variables_jit(ema)
         if not hasattr(self, "_eval_cache"):
             from yololp_tpu.core.evaler import Evaler
 

@@ -117,8 +117,18 @@ class Inferer:
         5k img/s pipeline (VERDICT r1 weak #2)."""
         from yololp_tpu.data.native import decode_letterbox_batch
 
+        if self.img_size[0] != self.img_size[1]:
+            # the native letterbox is square-only; a square batch rescaled
+            # with non-square pad math would shift every coordinate — route
+            # through the host letterbox path instead
+            import cv2
+
+            imgs = [cv2.imdecode(np.frombuffer(b, np.uint8),
+                                 cv2.IMREAD_COLOR) for b in buffers]
+            return self.detect_batch([im for im in imgs if im is not None])
         size = self.img_size[0]
-        batch, ratios, pads_w, pads_h = decode_letterbox_batch(buffers, size)
+        batch, ratios, pads_w, pads_h = decode_letterbox_batch(
+            buffers, size, scaleup=True)  # infer protocol: upscale to fill
         shapes = [(int(round((size - 2 * pads_h[i]) / ratios[i])),
                    int(round((size - 2 * pads_w[i]) / ratios[i])))
                   for i in range(len(buffers))]

@@ -119,8 +119,15 @@ class TrainValDataset:
             # (reference data_load.py:65-67) — each host reads a disjoint
             # strided slice of the dataset
             rank, world = process_shard
-            self.img_paths = self.img_paths[rank::world]
-            self.labels = self.labels[rank::world]
+            # pad to equal shard length by wrapping (like DistributedSampler):
+            # unequal shards would give hosts different steps_per_epoch and
+            # desync the collective train step (host A dispatches a step
+            # host B never joins -> distributed hang)
+            n = len(self.img_paths)
+            per = -(-n // world)  # ceil
+            idxs = [(rank + i * world) % n for i in range(per)]
+            self.img_paths = [self.img_paths[i] for i in idxs]
+            self.labels = [self.labels[i] for i in idxs]
         self.gen = PlateGenerator(seed=seed, cjk_font_path=cjk_font_path)
 
     def __len__(self):
@@ -327,7 +334,14 @@ class NativeValLoader:
             for p in paths:
                 with open(p, "rb") as f:
                     bufs.append(f.read())
-            imgs, ratios, pads_w, pads_h = decode_letterbox_batch(bufs, size)
+            # scaleup=True IS the val protocol: the per-item path first
+            # resizes the long side to img_size in load_image (up OR down,
+            # reference datasets.py:222), making its letterbox(scaleup=False)
+            # a no-op — the combined ratio equals the uncapped native one
+            # (asserted incl. a smaller-than-img_size image in
+            # tests/test_data_pipeline.py::test_native_val_loader_...)
+            imgs, ratios, pads_w, pads_h = decode_letterbox_batch(
+                bufs, size, scaleup=True)
             labels, masks, shapes = [], [], []
             for j, i in enumerate(idxs):
                 r, pw, ph = float(ratios[j]), float(pads_w[j]), float(pads_h[j])

@@ -29,8 +29,27 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def _cache_paths(img_dir: str, img_size: int, n: int, max_boxes: int):
+def _content_fingerprint(dataset) -> str:
+    """Cheap dataset-content key: per-file (name, size, mtime) of every image
+    plus the parsed labels. Keying the memo on count/size alone would let a
+    dataset regenerated IN PLACE (same file count, new pixels/labels) silently
+    train on stale cached arrays."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in dataset.img_paths:
+        st = os.stat(p)
+        h.update(f"{osp.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    for lbl in dataset.labels:
+        h.update(np.ascontiguousarray(lbl, np.float32).tobytes())
+    return h.hexdigest()[:12]
+
+
+def _cache_paths(img_dir: str, img_size: int, n: int, max_boxes: int,
+                 fingerprint: str = ""):
     tag = f"devcache_{img_size}_{n}_{max_boxes}"
+    if fingerprint:
+        tag += f"_{fingerprint}"
     return {k: osp.join(img_dir, f".{tag}.{k}.npy")
             for k in ("images", "labels", "masks")}
 
@@ -44,7 +63,8 @@ def precompute_items(dataset, verbose: bool = True
     n = len(dataset)
     s = dataset.img_size
     m = dataset.max_boxes
-    paths = _cache_paths(dataset.img_dir, s, n, m)
+    paths = _cache_paths(dataset.img_dir, s, n, m,
+                         _content_fingerprint(dataset))
     if all(osp.isfile(p) for p in paths.values()):
         return (np.load(paths["images"], mmap_mode="r"),
                 np.load(paths["labels"]), np.load(paths["masks"]))
@@ -106,20 +126,32 @@ class DeviceCachedData:
         return self.n // batch_size
 
 
-def make_cached_step(step_fn, img_shape):
+def make_cached_step(step_fn, img_shape, batch_sharding=None):
     """Wrap train_step so the batch gather happens inside jit:
     cached_step(state, images_all, labels_all, masks_all, idxs).
     images_all is the FLAT (N, H*W*3) staging layout; img_shape=(H, W, C)
-    restores the batch to NHWC after the gather."""
+    restores the batch to NHWC after the gather.
+
+    batch_sharding: optional NamedSharding(P('data')) — with the dataset
+    staged REPLICATED on every device of a mesh, constraining the gathered
+    batch to the data axis makes each device gather only its local slice,
+    so the cached path data-parallelizes over a single-host mesh with no
+    cross-device traffic."""
+    import jax
 
     def cached_step(state, images_all, labels_all, masks_all, idxs):
         images = images_all[idxs].reshape((idxs.shape[0],) + tuple(img_shape))
-        return step_fn(state, images, labels_all[idxs], masks_all[idxs])
+        labels, masks = labels_all[idxs], masks_all[idxs]
+        if batch_sharding is not None:
+            images = jax.lax.with_sharding_constraint(images, batch_sharding)
+            labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+            masks = jax.lax.with_sharding_constraint(masks, batch_sharding)
+        return step_fn(state, images, labels, masks)
 
     return cached_step
 
 
-def make_cached_epoch(step_fn, img_shape):
+def make_cached_epoch(step_fn, img_shape, batch_sharding=None):
     """A WHOLE training epoch as one XLA program: lax.scan of the train
     step over an (S, B) index matrix, gathering each batch from the
     HBM-resident dataset. One host dispatch + one 7-float readback per
@@ -132,7 +164,7 @@ def make_cached_epoch(step_fn, img_shape):
     import jax
     import jax.numpy as jnp
 
-    cached_step = make_cached_step(step_fn, img_shape)
+    cached_step = make_cached_step(step_fn, img_shape, batch_sharding)
 
     def epoch_fn(state, images_all, labels_all, masks_all, idx_mat):
         def body(st, idxs):

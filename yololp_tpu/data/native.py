@@ -27,8 +27,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.yololp_decode_letterbox_batch.restype = ctypes.c_int
         lib.yololp_decode_letterbox_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -38,16 +38,18 @@ def native_available() -> bool:
 
 
 def decode_letterbox_batch(jpeg_buffers: List[bytes], size: int,
-                           num_threads: int = 0
+                           num_threads: int = 0, scaleup: bool = True
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Decode+letterbox a batch of encoded images.
 
+    scaleup=False caps the resize ratio at 1 (the VAL protocol — small
+    images are padded, never upscaled); True matches the infer protocol.
     Returns (images (n, size, size, 3) RGB uint8, ratios, pads_w, pads_h).
     """
     n = len(jpeg_buffers)
     lib = load_native()
     if lib is None:
-        return _cv2_fallback(jpeg_buffers, size)
+        return _cv2_fallback(jpeg_buffers, size, scaleup)
 
     blob = b"".join(jpeg_buffers)
     offsets = np.zeros(n + 1, np.int64)
@@ -60,7 +62,7 @@ def decode_letterbox_batch(jpeg_buffers: List[bytes], size: int,
     n_ok = lib.yololp_decode_letterbox_batch(
         blob_arr.ctypes.data_as(ctypes.c_void_p),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, size, num_threads,
+        n, size, int(scaleup), num_threads,
         out.ctypes.data_as(ctypes.c_void_p),
         ratios.ctypes.data_as(ctypes.c_void_p),
         pads_w.ctypes.data_as(ctypes.c_void_p),
@@ -72,7 +74,7 @@ def decode_letterbox_batch(jpeg_buffers: List[bytes], size: int,
     return out, ratios, pads_w, pads_h
 
 
-def _cv2_fallback(jpeg_buffers, size):
+def _cv2_fallback(jpeg_buffers, size, scaleup=True):
     import cv2
 
     from yololp_tpu.data.images import letterbox
@@ -86,7 +88,7 @@ def _cv2_fallback(jpeg_buffers, size):
         bgr = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
         if bgr is None:
             continue
-        boxed, r, (dw, dh) = letterbox(bgr, size, auto=False)
+        boxed, r, (dw, dh) = letterbox(bgr, size, auto=False, scaleup=scaleup)
         out[i] = boxed[..., ::-1]
         ratios[i], pads_w[i], pads_h[i] = r, dw, dh
     return out, ratios, pads_w, pads_h

@@ -35,7 +35,12 @@ def lr_lambda(cfg: SolverConfig, epoch):
     """Per-epoch multiplier (solver/build.py:36-41)."""
     if cfg.lr_scheduler == "Constant":
         return jnp.ones_like(jnp.asarray(epoch, jnp.float32))
-    e = jnp.asarray(epoch, jnp.float32)
+    # Clamp to the schedule domain: a run resumed with a shorter --epochs
+    # (e.g. the QAT finetune resuming an 80-epoch RepOpt checkpoint with
+    # epochs=15) would otherwise evaluate the cosine far past pi and swing
+    # the lr ABOVE lr0; clamped, it holds the terminal lrf — the gentle
+    # finetune behavior such resumes want.
+    e = jnp.clip(jnp.asarray(epoch, jnp.float32), 0.0, float(cfg.epochs))
     return ((1 - jnp.cos(e * math.pi / cfg.epochs)) / 2) * (cfg.lrf - 1) + 1
 
 
