@@ -60,3 +60,19 @@ def test_ema_decay_matches_reference():
     for u in [1, 100, 2000, 100000]:
         ref = 0.9999 * (1 - math.exp(-u / 2000))
         np.testing.assert_allclose(float(ema_decay(u)), ref, rtol=1e-4)  # f32
+
+
+def test_cosine_lr_clamped_past_schedule_domain():
+    """A run resumed with a shorter --epochs (QAT finetune resuming a long
+    RepOpt run: state.step >> epochs*steps_per_epoch) must hold the terminal
+    lrf, not swing the cosine past pi and above lr0."""
+    from yololp_tpu.solver.build import SolverConfig, schedule
+
+    cfg = SolverConfig(lr0=0.02, lrf=0.01, epochs=15, steps_per_epoch=10,
+                       warmup_epochs=0.0)
+    wsteps = 1000  # warmup floor: max(round(0*10), 1000)
+    lr_end, _, _ = schedule(cfg, wsteps + cfg.epochs * cfg.steps_per_epoch)
+    for step in (wsteps + 80 * 10, wsteps + 800 * 10):  # far past the domain
+        lr_w, lr_b, _ = schedule(cfg, step)
+        np.testing.assert_allclose(float(lr_w), float(lr_end), rtol=1e-6)
+        assert float(lr_w) <= cfg.lr0 * 1.0 + 1e-9
