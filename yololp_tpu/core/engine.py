@@ -300,7 +300,8 @@ class Trainer:
 
             self.state = jax.device_put(
                 self.state, NamedSharding(self.mesh, P()))
-        return int(ckpt.get("epoch", -1)) + 1
+        self.resumed_epoch = int(ckpt.get("epoch", -1))
+        return self.resumed_epoch + 1
 
     # ---- eval hook ----
 
@@ -395,7 +396,12 @@ class Trainer:
                           skip_substrings=skip)
         out = osp.join(self.save_dir, "weights", "calib_amax.json")
         save_amax(amax, out)
-        self.save("calib_ckpt.msgpack", epoch=-1)
+        # preserve the source epoch: a QAT finetune resuming this checkpoint
+        # with --epochs N+10 must continue the epoch LOOP from the source
+        # run's position, not restart at 0 (the step-driven lr schedule was
+        # already correct; the loop length was not)
+        self.save("calib_ckpt.msgpack",
+                  epoch=getattr(self, "resumed_epoch", -1))
         print(f"PTQ calibration ({method}) over {len(batches)} batches -> {out}")
         return amax
 
