@@ -53,13 +53,18 @@ def test_precompute_matches_items_and_memoizes(tmp_path):
 def test_epoch_batches_cover_dataset_once(tmp_path):
     ds = _dataset(tmp_path)
     cache = DeviceCachedData(ds, seed=1)
-    batches = list(cache.epoch_batches(batch_size=2))
+    batches = list(cache.epoch_batches(batch_size=2, epoch=0))
     assert len(batches) == len(ds) // 2
     seen = np.concatenate(batches)
     assert sorted(seen.tolist()) == list(range(len(ds)))
     # a different epoch reshuffles
-    batches2 = list(cache.epoch_batches(batch_size=2))
+    batches2 = list(cache.epoch_batches(batch_size=2, epoch=1))
     assert not all(np.array_equal(a, b) for a, b in zip(batches, batches2))
+    # permutation is a pure function of (seed, epoch): a resumed run replays
+    # epoch k's order exactly, not epoch 0's
+    cache2 = DeviceCachedData(ds, seed=1)
+    for a, b in zip(batches2, cache2.epoch_batches(batch_size=2, epoch=1)):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_cached_step_matches_plain_step(tmp_path):
@@ -126,8 +131,7 @@ def test_precompute_invalidates_on_content_change(tmp_path):
     imgs0 = np.asarray(imgs0).copy()
     time.sleep(0.01)  # ensure distinct mtimes
     make_synthetic_dataset(root, n_train=4, n_val=2, img_size=IMG, seed=7)
-    # drop the label cache too (keyed by path list, content changed on disk)
-    os.remove(osp.join(root, "images", "train", ".yololp_tpu_cache.json"))
+    # label cache is keyed by (paths, label size+mtime): no manual removal
     ds2 = TrainValDataset(osp.join(root, "images", "train"), img_size=IMG,
                           augment=False, task="train")
     imgs1, _, _ = precompute_items(ds2, verbose=False)

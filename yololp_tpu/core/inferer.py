@@ -125,7 +125,16 @@ class Inferer:
 
             imgs = [cv2.imdecode(np.frombuffer(b, np.uint8),
                                  cv2.IMREAD_COLOR) for b in buffers]
-            return self.detect_batch([im for im in imgs if im is not None])
+            # keep positional alignment with the input buffers: undecodable
+            # images get an empty detection slot (like the native path)
+            # instead of being filtered out, which would misalign every
+            # subsequent detection with the wrong filename downstream
+            good = [i for i, im in enumerate(imgs) if im is not None]
+            dets = self.detect_batch([imgs[i] for i in good]) if good else []
+            out = [np.zeros((0, 28), np.float32)] * len(buffers)
+            for i, d in zip(good, dets):
+                out[i] = d
+            return out
         size = self.img_size[0]
         batch, ratios, pads_w, pads_h = decode_letterbox_batch(
             buffers, size, scaleup=True)  # infer protocol: upscale to fill

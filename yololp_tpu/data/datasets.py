@@ -62,7 +62,18 @@ def scan_dataset(img_dir: str, cache: bool = True
         raise FileNotFoundError(f"no images found in {img_dir}")
 
     cache_path = osp.join(img_dir, ".yololp_tpu_cache.json")
-    key = hashlib.md5("".join(img_paths).encode()).hexdigest()
+    # Key on label-file size+mtime_ns as well as the path list so an
+    # in-place dataset regeneration (same paths, new content) invalidates
+    # the cached labels too — not just additions/removals.
+    def _lbl_stamp(p: str) -> str:
+        try:
+            st = os.stat(img2label_path(p))
+            return f"{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            return "-"
+    key = hashlib.md5(
+        "".join(f"{p}|{_lbl_stamp(p)};" for p in img_paths).encode()
+    ).hexdigest()
     if cache and osp.isfile(cache_path):
         try:
             with open(cache_path) as f:

@@ -69,6 +69,18 @@ def precompute_items(dataset, verbose: bool = True
         return (np.load(paths["images"], mmap_mode="r"),
                 np.load(paths["labels"]), np.load(paths["masks"]))
 
+    # an in-place dataset regeneration changes the fingerprint — drop the
+    # previous generation's multi-GB memos for this shape key instead of
+    # letting them accumulate next to the images
+    import glob as _glob
+    stale = set(_glob.glob(osp.join(
+        dataset.img_dir, f".devcache_{s}_{n}_{m}_*.npy"))) - set(paths.values())
+    for p in stale:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
     images = np.lib.format.open_memmap(
         paths["images"] + ".tmp", mode="w+", dtype=np.uint8, shape=(n, s, s, 3))
     labels = np.empty((n, m, 20), np.float32)
@@ -107,19 +119,26 @@ class DeviceCachedData:
         self.images = put(self.host_images.reshape(self.n, -1))
         self.labels = put(host_labels)
         self.masks = put(host_masks)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
-    def epoch_batches(self, batch_size: int):
+    def _perm(self, epoch: int) -> np.ndarray:
+        # permutation is a pure function of (seed, epoch) so a resumed run
+        # (start_epoch=k) sees exactly the shuffle order the original run
+        # would have at epoch k — a stateful generator would replay the
+        # sequence from index 0 on every process start
+        return np.random.default_rng((self.seed, epoch)).permutation(self.n)
+
+    def epoch_batches(self, batch_size: int, epoch: int = 0):
         """Yields (B,) int32 index arrays, one per step; drops the tail."""
-        perm = self._rng.permutation(self.n)
+        perm = self._perm(epoch)
         for b0 in range(0, self.n - batch_size + 1, batch_size):
             yield perm[b0:b0 + batch_size].astype(np.int32)
 
-    def epoch_index_matrix(self, batch_size: int) -> np.ndarray:
+    def epoch_index_matrix(self, batch_size: int, epoch: int = 0) -> np.ndarray:
         """One epoch's shuffled batch indices as an (S, B) int32 matrix —
         the only per-epoch host->device transfer in the scan path."""
         s = self.steps_per_epoch(batch_size)
-        perm = self._rng.permutation(self.n)[: s * batch_size]
+        perm = self._perm(epoch)[: s * batch_size]
         return perm.reshape(s, batch_size).astype(np.int32)
 
     def steps_per_epoch(self, batch_size: int) -> int:
