@@ -75,3 +75,43 @@ def test_loss_with_tal_assigner_finite():
     total, items = compute_loss(out, jnp.asarray(labels), jnp.asarray(mask), cfg)
     assert np.isfinite(float(total))
     assert np.isfinite(np.asarray(items)).all()
+
+
+def test_tal_covers_atss_dead_band():
+    """ATSS's mean+std IoU threshold yields ZERO foreground anchors for
+    plate-aspect (~3.8:1) boxes whose height crosses the stride-16/32
+    handoff (measured: 100-120px-wide plates at 320 input left a 25.7%
+    detection-rate hole in the round-2 flagship, tools/diag_province.py).
+    TAL must assign foreground across that whole band — this is the
+    regression test for the 'atss_tal' schedule's reason to exist."""
+    from yololp_tpu.assigners.atss import atss_assign
+
+    img = 320
+    anchors, pts, n_level, st = anchors_train((img, img), STRIDES)
+    a = pts.shape[0]
+    r = np.random.default_rng(0)
+    scores = jnp.asarray(r.uniform(0, 0.3, (1, a, 31)), jnp.float32)
+    half = np.asarray(st) * 2.5
+    pd = jnp.asarray(
+        np.concatenate([np.asarray(pts) - half, np.asarray(pts) + half],
+                       -1)[None], jnp.float32)
+    aspect = 272 / 72.0
+    zeros = lambda *s: jnp.zeros(s, jnp.float32)
+    atss_dead = []
+    for wpx in (100, 105, 110, 115):
+        h = wpx / aspect
+        cx, cy = 163.0, 157.0
+        bb = jnp.array([[[cx - wpx / 2, cy - h / 2, cx + wpx / 2,
+                          cy + h / 2]]], jnp.float32)
+        res_tal = tal_assign(scores, pd, pts, zeros(1, 1), zeros(1, 1),
+                             zeros(1, 1, 6), bb, zeros(1, 1, 8),
+                             jnp.ones((1, 1, 1)))
+        assert float(np.asarray(res_tal.fg_mask).sum()) > 0, \
+            f"TAL assigned no fg at width {wpx}"
+        res_atss = atss_assign(anchors, tuple(n_level), zeros(1, 1),
+                               zeros(1, 1), zeros(1, 1, 6), bb,
+                               zeros(1, 1, 8), jnp.ones((1, 1, 1)), None)
+        atss_dead.append(float(np.asarray(res_atss.fg_mask).sum()) == 0)
+    # document the ATSS hole itself: if this starts failing, the band moved
+    # or the ATSS port changed behavior — either way worth knowing
+    assert all(atss_dead), "ATSS dead band disappeared (port changed?)"

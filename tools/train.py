@@ -41,6 +41,12 @@ def get_args_parser():
     p.add_argument("--name", default="exp")
     p.add_argument("--resume", nargs="?", const=True, default=False)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--assigner", choices=["atss", "tal", "atss_tal"],
+                   default=None,
+                   help="override the label assigner: atss (reference "
+                        "parity), tal, or atss_tal (ATSS warmup epochs then "
+                        "task-aligned; recommended — ATSS alone has a "
+                        "zero-foreground band for plate-aspect boxes)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
     p.add_argument("--data-parallel", action="store_true", default=True,

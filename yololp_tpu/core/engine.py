@@ -131,11 +131,32 @@ class Trainer:
         self.state = init_train_state(variables)
 
         head = cfg["model"]["head"]
+        # Assigner schedule. 'atss' (reference parity: ATSS for every epoch,
+        # losses/loss.py:44-46 — TAL is dead code upstream), 'tal', or
+        # 'atss_tal' (upstream-yolov6-3.0 style: ATSS for the first
+        # `atss_warmup_epoch` epochs while predictions are random, then the
+        # task-aligned assigner). ATSS's mean+std IoU threshold has a
+        # ZERO-foreground band for LP-aspect (≈3.8:1) boxes whose height
+        # crosses the stride-16/32 handoff (e.g. 100-120px-wide plates at
+        # 320 input — measured round 3, tools/diag_province.py); TAL has no
+        # such hole, so 'atss_tal' is the accuracy-recommended setting.
+        assigner = str(getattr(args, "assigner", None)
+                       or head.get("assigner", "atss"))
+        # configs inherited from the reference say atss_warmup_epoch=0 (its
+        # formal assigner is ALSO atss, so the value is vestigial there);
+        # for the real atss->tal schedule 0 would mean cold-start TAL on
+        # random predictions — treat 0/absent as the upstream default of 4
+        # (pure-TAL-from-epoch-0 is spelled --assigner tal)
+        self.atss_warmup_epoch = (int(head.get("atss_warmup_epoch") or 4)
+                                  if assigner == "atss_tal" else 0)
         self.loss_cfg = LossConfig(
             img_size=(self.img_size, self.img_size),
             strides=tuple(head["strides"]), npro=self.npro, nalp=self.nalp,
             nads=self.nads, use_dfl=bool(head["use_dfl"]),
-            reg_max=int(head["reg_max"]), iou_type=head["iou_type"])
+            reg_max=int(head["reg_max"]), iou_type=head["iou_type"],
+            assigner="atss" if assigner == "atss_tal" else assigner)
+        self._loss_cfg_formal = (self.loss_cfg._replace(assigner="tal")
+                                 if assigner == "atss_tal" else self.loss_cfg)
         solver = cfg["solver"]
         weight_decay = solver["weight_decay"]
 
@@ -190,49 +211,65 @@ class Trainer:
             t_vars = t_ckpt.get("ema") or t_ckpt["variables"]
             teacher = (t_model, t_vars)
 
-        step_fn = make_train_step(self.model, self.loss_cfg, self.solver_cfg,
-                                  self.batch_size, grad_masks=grad_masks,
-                                  quant_amax=quant_amax, quant_skip=quant_skip,
-                                  teacher=teacher,
-                                  distill_cfg=dict(
-                                      cfg["model"]["head"].get("distill_weight")
-                                      or {}))
         self._data_sh = None
-        if self.cache is not None:
-            from yololp_tpu.data.device_cache import make_cached_epoch
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            # whole-epoch scan program. NOT donating the state: at epoch 0
-            # params/ema_params alias the same buffers (init_train_state,
-            # resume) and XLA rejects donating one buffer twice.
-            batch_sh = None
+            self._data_sh = NamedSharding(self.mesh, P("data"))
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
+
+        def _build_fns(loss_cfg):
+            """(step_fn, epoch_fn) for one assigner config; compiled lazily
+            per assigner so the 'atss_tal' schedule costs a second compile
+            only when the switch epoch is actually reached."""
+            step_fn = make_train_step(
+                self.model, loss_cfg, self.solver_cfg,
+                self.batch_size, grad_masks=grad_masks,
+                quant_amax=quant_amax, quant_skip=quant_skip,
+                teacher=teacher,
+                distill_cfg=dict(
+                    cfg["model"]["head"].get("distill_weight") or {}))
+            if self.cache is not None:
+                from yololp_tpu.data.device_cache import make_cached_epoch
+
+                # whole-epoch scan program. NOT donating the state: at
+                # epoch 0 params/ema_params alias the same buffers
+                # (init_train_state, resume) and XLA rejects donating one
+                # buffer twice.
+                batch_sh = self._data_sh if self.mesh is not None else None
+                return None, jax.jit(make_cached_epoch(
+                    step_fn, self.cache.img_shape, batch_sh))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                batch_sh = NamedSharding(self.mesh, P("data"))
                 repl = NamedSharding(self.mesh, P())
-                self.state = jax.device_put(self.state, repl)
-            self.epoch_fn = jax.jit(
-                make_cached_epoch(step_fn, self.cache.img_shape, batch_sh))
-            self.step_fn = None
-        elif self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            data_sh = NamedSharding(self.mesh, P("data"))
-            repl = NamedSharding(self.mesh, P())
-            self._data_sh = data_sh
-            self.state = jax.device_put(self.state, repl)
-            self.step_fn = jax.jit(
-                step_fn,
-                in_shardings=(repl, data_sh, data_sh, data_sh),
-                out_shardings=(repl, repl, repl))
-        else:
+                return jax.jit(
+                    step_fn,
+                    in_shardings=(repl, self._data_sh, self._data_sh,
+                                  self._data_sh),
+                    out_shardings=(repl, repl, repl)), None
             assert self.n_procs == 1, "multi-host training requires a mesh"
-            self.step_fn = jax.jit(step_fn)
+            return jax.jit(step_fn), None
+
+        self._build_train_fns = _build_fns
+        self._train_fns_cache = {}
+        self.step_fn, self.epoch_fn = self._fns_for_epoch(0)
 
         self.best_ap = -1.0
         self.best_stop_aug_ap = -1.0
         self.log_path = osp.join(self.save_dir, "train_log.jsonl")
         self.tb = self._try_tensorboard() if self.is_main else None
+
+    def _fns_for_epoch(self, epoch: int):
+        """(step_fn, epoch_fn) honoring the assigner schedule."""
+        loss_cfg = (self.loss_cfg if epoch < self.atss_warmup_epoch
+                    or self._loss_cfg_formal is self.loss_cfg
+                    else self._loss_cfg_formal)
+        key = loss_cfg.assigner
+        if key not in self._train_fns_cache:
+            self._train_fns_cache[key] = self._build_train_fns(loss_cfg)
+        return self._train_fns_cache[key]
 
     def _to_global(self, arr):
         """Host batch -> device array. Multi-host: each process contributes
@@ -411,7 +448,7 @@ class Trainer:
         """One whole-epoch scan dispatch over the HBM-resident dataset;
         returns (mean loss items, steps run)."""
         c = self.cache
-        idx_mat = c.epoch_index_matrix(self.batch_size)
+        idx_mat = c.epoch_index_matrix(self.batch_size, epoch)
         if epoch % 10 == 0 and self.is_main:
             from yololp_tpu.utils.visualize import save_train_batch_vis
 
@@ -425,6 +462,12 @@ class Trainer:
 
     def train(self, resume_path: Optional[str] = None):
         start_epoch = self.resume(resume_path) if resume_path else 0
+        if start_epoch >= self.epochs:
+            raise ValueError(
+                f"resume epoch {start_epoch} >= --epochs {self.epochs}: the "
+                f"training loop would run zero epochs. Pass --epochs greater "
+                f"than the resumed checkpoint's epoch (e.g. resumed_epoch + "
+                f"finetune_epochs).")
         stop_aug_epoch = self.epochs - int(
             getattr(self.args, "stop_aug_last_n_epoch", 15))
         eval_interval = int(getattr(self.args, "eval_interval", 20))
@@ -433,6 +476,7 @@ class Trainer:
         for epoch in range(start_epoch, self.epochs):
             if epoch == stop_aug_epoch and self.train_loader is not None:
                 self.train_dataset.disable_heavy_aug()
+            self.step_fn, self.epoch_fn = self._fns_for_epoch(epoch)
             t0 = time.time()
             if self.cache is not None:
                 mean_items, n_steps = self._run_cached_epoch(epoch)
