@@ -133,10 +133,19 @@ class PlateGenerator:
 
     def __init__(self, seed: Optional[int] = None,
                  cjk_font_path: Optional[str] = None,
-                 env_images: Optional[List[str]] = None):
+                 env_images: Optional[List[str]] = None,
+                 diversity: float = 0.0):
         self.rng = np.random.default_rng(seed)
         self.glyphs = GlyphRenderer(cjk_font_path)
         self.env_images = env_images or []
+        # 0 = deterministic canonical glyphs (golden-stable); >0 enables
+        # per-instance glyph weathering: stroke-width jitter on the authored
+        # CJK set, erosion/dilation, cutout occlusions (dirt/bolts), and
+        # per-char rotation — the diversity the province head needs to not
+        # latch onto one exact rendering of each of the 31 CJK glyphs
+        # (round-2 finding: pro_loss plateaued at 0.92 while same-sized
+        # latin slots converged)
+        self.diversity = float(diversity)
 
     # ---- string sampling ----
 
@@ -166,6 +175,36 @@ class PlateGenerator:
             img = np.broadcast_to(img, (h, w, 3)).copy()
         return img, np.asarray(fg, np.uint8)
 
+    def _weather_glyph(self, mask: np.ndarray, ch: str, is_cjk: bool,
+                       cw: int) -> np.ndarray:
+        """Per-instance glyph variation (active when self.diversity > 0)."""
+        rng = self.rng
+        d = self.diversity
+        if is_cjk and ch in glyph_lib.GLYPH_CHARS and rng.random() < 0.8 * d:
+            # re-render the vector strokes at a jittered width instead of
+            # reusing the cached canonical bitmap
+            t = float(rng.uniform(0.065, 0.125))
+            mask = glyph_lib.render_glyph(ch, cw, 70, thickness=t)
+        r = rng.random()
+        if r < 0.2 * d:
+            mask = cv2.erode(mask, np.ones((2, 2), np.uint8))
+        elif r < 0.4 * d:
+            mask = cv2.dilate(mask, np.ones((2, 2), np.uint8))
+        if rng.random() < 0.25 * d:  # cutout: bolt head / dirt patch
+            h, w = mask.shape
+            pw = int(rng.integers(2, max(3, w // 3)))
+            ph = int(rng.integers(2, max(3, h // 4)))
+            x0 = int(rng.integers(0, w - pw + 1))
+            y0 = int(rng.integers(0, h - ph + 1))
+            mask = mask.copy()
+            mask[y0:y0 + ph, x0:x0 + pw] = 0
+        if rng.random() < 0.4 * d:  # slight in-plane rotation
+            h, w = mask.shape
+            ang = float(rng.uniform(-5, 5))
+            m = cv2.getRotationMatrix2D((w / 2, h / 2), ang, 1.0)
+            mask = cv2.warpAffine(mask, m, (w, h))
+        return mask
+
     def draw_plate(self, style: PlateStyle, pro: int, alp: int, ads: List[int]):
         img, fg = self._canvas(style)
         h, w = img.shape[:2]
@@ -176,8 +215,11 @@ class PlateGenerator:
         total = n * cw + (n - 1) * gap + 11  # extra separator gap after alp
         x = (w - total) // 2
         for i, ch in enumerate(chars):
-            mask = (self.glyphs.cjk_glyph(ch, cw) if i == 0 or ch in ("警", "学")
+            is_cjk = i == 0 or ch in ("警", "学")
+            mask = (self.glyphs.cjk_glyph(ch, cw) if is_cjk
                     else self.glyphs.latin_glyph(ch, cw))
+            if self.diversity > 0:
+                mask = self._weather_glyph(mask, ch, is_cjk, cw)
             m = mask.astype(np.float32)[..., None] / 255.0
             img[0:70, x:x + cw] = (img[0:70, x:x + cw] * (1 - m)
                                    + fg * m).astype(np.uint8)
@@ -247,7 +289,16 @@ class PlateGenerator:
 
     def blur_and_noise(self, img):
         level = 1 + _rint(self.rng, 4)
-        img = cv2.blur(img, (level * 2 + 1, level * 2 + 1))
+        if self.diversity > 0:
+            # vary capture sharpness: the fixed always-blurred regime of the
+            # reference generator (kernel 3-9 at canonical 272px) leaves the
+            # 23px-wide CJK glyph with ~2px strokes unreadable after the
+            # paste downscale; keep heavy blur as a mode, not a certainty
+            r = self.rng.random()
+            level = 0 if r < 0.3 * self.diversity else (
+                1 + _rint(self.rng, 2) if r < 0.8 else 1 + _rint(self.rng, 4))
+        if level:
+            img = cv2.blur(img, (level * 2 + 1, level * 2 + 1))
         noise = self.rng.normal(0, 1 + _rint(self.rng, 6), img.shape)
         span = noise.max() - noise.min()
         if span > 0:

@@ -79,11 +79,13 @@ def make_synthetic_dataset(root: str, n_train: int = 64, n_val: int = 16,
                            img_size: int = 640, seed: int = 0,
                            cjk_font_path: Optional[str] = None,
                            ratio_min: float = 0.1, ratio_max: float = 0.4,
-                           start: int = 0) -> dict:
+                           start: int = 0, diversity: float = 0.0) -> dict:
     """Write images/{split} + labels/{split}; returns a data dict compatible
     with load_dataset_yaml's output. `start` offsets file numbering so large
-    datasets can be generated incrementally/in chunks."""
-    gen = PlateGenerator(seed=seed, cjk_font_path=cjk_font_path)
+    datasets can be generated incrementally/in chunks. `diversity` enables
+    per-instance glyph weathering (see PlateGenerator)."""
+    gen = PlateGenerator(seed=seed, cjk_font_path=cjk_font_path,
+                         diversity=diversity)
     for split, n in (("train", n_train), ("val", n_val)):
         # independent streams so chunked generation stays reproducible
         rng = np.random.default_rng((seed, start, split == "val"))
