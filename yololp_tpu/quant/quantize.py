@@ -73,10 +73,22 @@ def _skip(path: str, skip_substrings: Sequence[str]) -> bool:
 
 
 def make_calib_fn(model, variables, mode: str = "max",
-                  skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS):
-    """Returns a jitted fn(images_u8) -> stats dict. mode 'max': per-conv
-    input amax; mode 'histogram': (amax_seen, histogram over log-spaced
-    bins in [amax*2^-20, amax])."""
+                  skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
+                  amax_by_path: Dict[str, float] | None = None):
+    """Returns a jitted fn(images_u8) -> stats dict.
+
+    mode 'max': per-conv input amax.
+    mode 'histogram': per-conv |x| histogram over HIST_BINS *linear* bins on
+    [0, global_amax], where global_amax comes from `amax_by_path` (a prior
+    max-mode pass). Fixing the bin edges per path makes cross-batch merging
+    a plain histogram sum — this mirrors pytorch-quantization's
+    HistogramCalibrator, whose bin width is frozen after the first batch so
+    all batches accumulate into one consistently-binned histogram
+    (calibrator semantics behind tools/qat/qat_utils.py:53-59).
+    """
+    if mode == "histogram" and not amax_by_path:
+        raise ValueError("histogram mode needs amax_by_path from a prior "
+                         "max-mode calibration pass (two-pass binning)")
 
     def forward(x):
         captured: Dict[str, jnp.ndarray] = {}
@@ -86,19 +98,14 @@ def make_calib_fn(model, variables, mode: str = "max",
                 path = _module_path(context)
                 if not _skip(path, skip_substrings):
                     a = jnp.abs(args[0].astype(jnp.float32))
-                    amax = jnp.max(a)
                     if mode == "max":
-                        captured[path] = amax
-                    else:
-                        # fixed log2-spaced histogram relative to batch amax
-                        log_a = jnp.log2(jnp.maximum(a, 1e-12))
-                        log_max = jnp.log2(jnp.maximum(amax, 1e-12))
-                        edges0 = log_max - 20.0
-                        idx = jnp.clip(((log_a - edges0) / 20.0 * HIST_BINS)
-                                       .astype(jnp.int32), 0, HIST_BINS - 1)
-                        hist = jnp.zeros(HIST_BINS, jnp.float32).at[
-                            idx.reshape(-1)].add(1.0)
-                        captured[path] = (amax, hist)
+                        captured[path] = jnp.max(a)
+                    elif path in amax_by_path:
+                        width = max(amax_by_path[path], 1e-12) / HIST_BINS
+                        idx = jnp.clip((a / width).astype(jnp.int32),
+                                       0, HIST_BINS - 1)
+                        captured[path] = jnp.zeros(
+                            HIST_BINS, jnp.float32).at[idx.reshape(-1)].add(1.0)
             return next_fun(*args, **kwargs)
 
         with nn.intercept_methods(interceptor):
@@ -114,53 +121,113 @@ def make_calib_fn(model, variables, mode: str = "max",
 
 
 def merge_calib_stats(per_batch: List[Dict], mode: str = "max") -> Dict:
-    """Reduce per-batch stats: max over batches (and summed histograms)."""
+    """Reduce per-batch stats: max over batches / summed histograms (the
+    histograms share bin edges by construction — see make_calib_fn)."""
     merged = {}
     for stats in per_batch:
         for k, v in stats.items():
             if mode == "max":
-                v = float(v)
-                merged[k] = max(merged.get(k, 0.0), v)
+                merged[k] = max(merged.get(k, 0.0), float(v))
             else:
-                amax, hist = float(v[0]), np.asarray(v[1])
-                if k in merged:
-                    pa, ph = merged[k]
-                    merged[k] = (max(pa, amax), ph + hist)
-                else:
-                    merged[k] = (amax, hist)
+                hist = np.asarray(v, np.float64)
+                merged[k] = merged[k] + hist if k in merged else hist
     return merged
 
 
-def compute_amax(stats: Dict, method: str = "max",
-                 percentile: float = 99.99) -> Dict[str, float]:
-    """Histogram amax reduction (reference compute_amax: max / percentile /
-    entropy / mse over pytorch-quantization histograms)."""
+def _amax_percentile(hist: np.ndarray, edges: np.ndarray,
+                     percentile: float) -> float:
+    """pytorch-quantization _compute_amax_percentile: right edge of the bin
+    where the cumulative count first reaches the percentile."""
+    total = hist.sum()
+    if total <= 0:
+        return float(edges[-1])
+    cdf = np.cumsum(hist) / total
+    idx = int(np.searchsorted(cdf, percentile / 100.0))
+    return float(edges[min(idx + 1, len(edges) - 1)])
+
+
+def _amax_entropy(hist: np.ndarray, edges: np.ndarray, num_bits: int = 8,
+                  stride: int = 1, start_bin: int = 128) -> float:
+    """TensorRT-style KL-divergence amax search, matching
+    pytorch-quantization calib.histogram._compute_amax_entropy: for each
+    candidate clip bin i, quantize hist[:i] down to 2^(num_bits-1) levels
+    (averaging counts within each level, zeros stay zero), fold the clipped
+    tail into the last reference bin, and take the clip minimizing
+    KL(reference || quantized). Last argmin wins (widest amax on ties)."""
+    bins = hist.astype(np.float64).copy()
+    if len(bins) < start_bin + 1:
+        return float(edges[-1])
+    bins[0] = bins[1]
+    nlevels = 1 << (num_bits - 1)
+    divergences = []
+    for i in range(start_bin, len(bins) + 1, stride):
+        space = np.linspace(0, i, num=nlevels + 1)
+        digitized = np.digitize(np.arange(i), space) - 1
+        digitized = np.where(bins[:i] == 0, -1, digitized)
+        counts = np.zeros(nlevels)
+        occup = np.zeros(nlevels)
+        valid = digitized >= 0
+        np.add.at(counts, digitized[valid], bins[:i][valid])
+        np.add.at(occup, digitized[valid], 1.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            density_per_level = np.where(occup > 0, counts / occup, 0.0)
+        q = np.where(valid, density_per_level[np.clip(digitized, 0, None)], 0.0)
+        q_total = q.sum() + bins[i:].sum()
+        p = bins[:i].copy()
+        p[-1] += bins[i:].sum()
+        p_total = p.sum()
+        if q_total <= 0 or p_total <= 0:
+            divergences.append(np.inf)
+            continue
+        p /= p_total
+        q /= q_total
+        mask = (p > 0) & (q > 0)
+        kl = np.sum(p[mask] * np.log(p[mask] / q[mask]))
+        # scipy.stats.entropy(p, q) is +inf when p>0 where q==0
+        if np.any((p > 0) & (q <= 0)):
+            kl = np.inf
+        divergences.append(kl)
+    div = np.asarray(divergences)
+    last_argmin = len(div) - 1 - int(np.argmin(div[::-1]))
+    return float(edges[min(last_argmin * stride + start_bin, len(edges) - 1)])
+
+
+def _amax_mse(hist: np.ndarray, edges: np.ndarray, num_bits: int = 8,
+              stride: int = 1, start_bin: int = 128) -> float:
+    """pytorch-quantization _compute_amax_mse: scan candidate amax = bin
+    center, fake-quant all bin centers against it, pick min Σ hist·err²."""
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    qmax = 2.0 ** (num_bits - 1) - 1.0
+    best_amax, best_err = float(edges[-1]), np.inf
+    for i in range(start_bin, len(centers), stride):
+        amax = centers[i]
+        scale = amax / qmax
+        q = np.clip(np.round(centers / scale), -qmax - 1, qmax) * scale
+        err = float((hist * (centers - q) ** 2).sum())
+        if err < best_err:
+            best_err, best_amax = err, float(amax)
+    return best_amax
+
+
+def compute_amax(stats: Dict, method: str = "max", percentile: float = 99.99,
+                 amax_by_path: Dict[str, float] | None = None,
+                 num_bits: int = 8) -> Dict[str, float]:
+    """Histogram→amax reduction matching pytorch-quantization's
+    compute_amax methods (max / percentile / entropy / mse), the procedures
+    the reference invokes at tools/qat/qat_utils.py:39-51."""
     if method == "max":
-        return {k: (v if isinstance(v, float) else float(v[0]))
-                for k, v in stats.items()}
+        return {k: float(v) for k, v in stats.items()}
     out = {}
-    for k, (amax_seen, hist) in stats.items():
-        centers = amax_seen * np.exp2(
-            (np.arange(HIST_BINS) + 0.5) / HIST_BINS * 20.0 - 20.0)
+    for k, hist in stats.items():
+        top = max(amax_by_path[k], 1e-12)
+        edges = np.linspace(0.0, top, HIST_BINS + 1)
+        hist = np.asarray(hist, np.float64)
         if method == "percentile":
-            cdf = np.cumsum(hist) / max(hist.sum(), 1)
-            idx = int(np.searchsorted(cdf, percentile / 100.0))
-            out[k] = float(centers[min(idx, HIST_BINS - 1)])
-        elif method in ("entropy", "mse"):
-            # scan candidate clip points, pick min quantization error
-            best, best_err = amax_seen, np.inf
-            probs = hist / max(hist.sum(), 1)
-            for frac in np.linspace(0.25, 1.0, 16):
-                clip = amax_seen * frac
-                q = np.clip(centers, 0, clip)
-                levels = np.round(q / clip * 127) / 127 * clip
-                err = (probs * (centers - np.minimum(centers, levels)) ** 2).sum() \
-                    if method == "mse" else \
-                    (probs * np.abs(np.minimum(centers, clip) - levels)).sum() \
-                    + probs[centers > clip].sum() * clip * 0.1
-                if err < best_err:
-                    best, best_err = clip, err
-            out[k] = float(best)
+            out[k] = _amax_percentile(hist, edges, percentile)
+        elif method == "entropy":
+            out[k] = _amax_entropy(hist, edges, num_bits=num_bits)
+        elif method == "mse":
+            out[k] = _amax_mse(hist, edges, num_bits=num_bits)
         else:
             raise ValueError(method)
     return out
@@ -170,14 +237,25 @@ def calibrate(model, variables, batches, method: str = "max",
               percentile: float = 99.99,
               skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS
               ) -> Dict[str, float]:
-    """Full PTQ calibration: run batches, return per-conv input amax."""
-    mode = "max" if method == "max" else "histogram"
-    calib_fn = make_calib_fn(model, variables, mode=mode,
+    """Full PTQ calibration: run batches, return per-conv input amax.
+
+    Histogram methods are two-pass: pass 1 (max mode) finds each conv
+    input's global amax; pass 2 histograms every batch into linear bins on
+    [0, global_amax] so the cross-batch merge is exact."""
+    calib_fn = make_calib_fn(model, variables, mode="max",
                              skip_substrings=skip_substrings)
-    per_batch = [jax.device_get(calib_fn(jnp.asarray(b))) for b in batches]
-    merged = merge_calib_stats(per_batch, mode=mode)
-    return compute_amax(merged, method="max" if method == "max" else method,
-                        percentile=percentile)
+    batches = [jnp.asarray(b) for b in batches]
+    per_batch = [jax.device_get(calib_fn(b)) for b in batches]
+    global_amax = merge_calib_stats(per_batch, mode="max")
+    if method == "max":
+        return global_amax
+    hist_fn = make_calib_fn(model, variables, mode="histogram",
+                            skip_substrings=skip_substrings,
+                            amax_by_path=global_amax)
+    per_batch = [jax.device_get(hist_fn(b)) for b in batches]
+    merged = merge_calib_stats(per_batch, mode="histogram")
+    return compute_amax(merged, method=method, percentile=percentile,
+                        amax_by_path=global_amax)
 
 
 # ---------------- quantized execution ----------------
