@@ -87,24 +87,36 @@ def _pipelined_time(step, staged_inputs, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_inference(model, variables, batch, img, iters=20):
+def bench_inference(model, variables, batch, img, iters=20, mesh=None):
+    """Single-device by default; with `mesh` (n>1 visible devices) the same
+    e2e program is sharded batch-over-devices (parallel/infer.py) and the
+    reported number is the AGGREGATE mesh throughput."""
     import jax
     import jax.numpy as jnp
 
     from yololp_tpu.ops.nms import non_max_suppression
 
-    @jax.jit
-    def run(images_u8):
-        x = images_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-        pred = model.apply(variables, x, train=False)
-        det, valid, num = non_max_suppression(
-            pred, conf_thres=0.4, iou_thres=0.45, max_det=300,
-            pre_nms_topk=256)
-        return det, num
+    if mesh is not None:
+        from yololp_tpu.parallel.infer import make_sharded_infer_fn
+
+        run2, put = make_sharded_infer_fn(
+            model, variables, mesh, conf_thres=0.4, iou_thres=0.45,
+            max_det=300, pre_nms_topk=256, dtype=jnp.bfloat16)
+        run = lambda images_u8: run2(images_u8)[::2]  # (det, num)
+    else:
+        put = jax.device_put
+
+        @jax.jit
+        def run(images_u8):
+            x = images_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            pred = model.apply(variables, x, train=False)
+            det, valid, num = non_max_suppression(
+                pred, conf_thres=0.4, iou_thres=0.45, max_det=300,
+                pre_nms_topk=256)
+            return det, num
 
     rng = np.random.default_rng(0)
-    staged = [(jax.device_put(rng.integers(0, 255, (batch, img, img, 3),
-                                           np.uint8)),)
+    staged = [(put(rng.integers(0, 255, (batch, img, img, 3), np.uint8)),)
               for _ in range(4)]
     jax.block_until_ready(run(*staged[0]))  # compile
     dt_sync = _median_iter_time(run, staged, iters)
@@ -197,21 +209,31 @@ def main():
     from yololp_tpu.models import Model, build_model
     from yololp_tpu.utils.config import Config
 
+    from yololp_tpu.parallel.infer import infer_mesh
+
     batch, img = 128, 640
     cfg = Config.named("yololps")
     _, train_vars = build_model(cfg, img_size=(64, 64), dtype=jnp.bfloat16)
     variables = fuse_variables(train_vars)
     model = Model(config=cfg, deploy=True, dtype=jnp.bfloat16)
 
-    ips, ips_sync = bench_inference(model, variables, batch, img)
+    mesh = infer_mesh()  # None on the 1-chip tunnel; n-way when attached
+    n_dev = mesh.size if mesh is not None else 1
+    ips, ips_sync = bench_inference(model, variables, batch * n_dev, img,
+                                    mesh=mesh)
     result = {
         "metric": "yololps 640x640 e2e inference (fwd+decode+NMS, bf16, "
-                  "b128) per chip",
+                  f"b{batch}/chip) "
+                  + (f"aggregate over {n_dev} chips" if n_dev > 1
+                     else "per chip"),
         "value": round(ips, 1),
         "unit": "images/sec",
-        "vs_baseline": round(ips / (5000.0 / 8.0), 3),
+        "vs_baseline": round((ips / n_dev) / (5000.0 / 8.0), 3),
         "per_batch_sync_images_per_sec": round(ips_sync, 1),
     }
+    if n_dev > 1:
+        result["n_devices"] = n_dev
+        result["per_chip_images_per_sec"] = round(ips / n_dev, 1)
     if os.environ.get("YOLOLP_BENCH_FAST") != "1":
         try:
             result["int8_images_per_sec"] = round(

@@ -35,6 +35,9 @@ def get_args_parser():
     p.add_argument("--rect", action="store_true",
                    help="reference-protocol rect-batched val (aspect-sorted "
                         "batches, pad 0.5; quantized shapes on TPU)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard the eval batch data-parallel over N devices "
+                        "(0 = single-device); batch-size must divide by N")
     p.add_argument("--native-preproc", action="store_true",
                    help="native C++ threaded batch decode+letterbox for the "
                         "val loader (plain square protocol only)")
@@ -121,6 +124,14 @@ def main(args=None):
                   nads=int(data_dict.get("nads", 37)), deploy=True,
                   dtype=jnp.bfloat16 if args.half else jnp.float32)
 
+    mesh = None
+    if args.mesh:
+        from yololp_tpu.parallel.infer import infer_mesh
+
+        mesh = infer_mesh(args.mesh)
+        assert mesh is not None and mesh.size == args.mesh, \
+            f"--mesh {args.mesh} needs {args.mesh} visible devices"
+
     run_fn = None
     if args.int8:
         assert args.calib_pt, "--int8 requires --calib-pt"
@@ -138,7 +149,7 @@ def main(args=None):
         iou_thres=args.iou_thres, half=args.half, workers=args.workers,
         eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task,
         return_preds=args.save_json, run_fn=run_fn, rect=args.rect,
-        native=args.native_preproc)
+        native=args.native_preproc, mesh=mesh)
     if args.save_json:
         results, speed, (preds, targets, paths) = out
         from yololp_tpu.utils.coco import (

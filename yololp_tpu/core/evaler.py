@@ -75,11 +75,32 @@ class Evaler:
             drop_last=False, task="val")
         return loader, dataset
 
-    def make_infer_fn(self, model, variables=None):
+    def make_infer_fn(self, model, variables=None, mesh=None):
         """Returns run(images). When `variables` is None, returns
         run(variables, images) instead — variables-as-argument lets the
         Trainer reuse ONE compiled program across epochs (a closure over
-        fresh params would recompile every eval)."""
+        fresh params would recompile every eval).
+
+        With `mesh` (a 1-D 'data' jax.sharding.Mesh), the whole program is
+        sharded batch-over-devices (parallel/infer.py) and batches are
+        staged with the matching input sharding; requires `variables` and
+        batch_size % mesh size == 0 (predict pads every batch to
+        batch_size). Multi-device analogue of the reference's DDP eval."""
+        if mesh is not None:
+            if variables is None:
+                raise ValueError("mesh eval needs concrete variables")
+            if self.batch_size % mesh.size:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by mesh "
+                    f"size {mesh.size}")
+            from yololp_tpu.parallel.infer import make_sharded_infer_fn
+
+            run, put = make_sharded_infer_fn(
+                model, variables, mesh, conf_thres=self.conf_thres,
+                iou_thres=self.iou_thres, max_det=self.max_det)
+            self._put = put
+            return run
+
         conf, iou, md = self.conf_thres, self.iou_thres, self.max_det
 
         @jax.jit
@@ -107,7 +128,10 @@ class Evaler:
                 reps = self.batch_size - bs
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], reps, 0)])
             t1 = time.perf_counter()
-            imgs_dev = jnp.asarray(imgs)
+            # mesh eval stages with the sharded placement (set by
+            # make_infer_fn(mesh=...)); plain eval on the default device
+            imgs_dev = (self._put(imgs) if getattr(self, "_put", None)
+                        else jnp.asarray(imgs))
             t2 = time.perf_counter()
             det, valid, num = jax.block_until_ready(run_fn(imgs_dev))
             t3 = time.perf_counter()
@@ -234,7 +258,8 @@ class Evaler:
 def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
              conf_thres=0.03, iou_thres=0.65, half=True, workers=4,
              eval_hyp=None, task="val", run_fn=None, loader=None,
-             evaler=None, return_preds=False, rect=False, native=False):
+             evaler=None, return_preds=False, rect=False, native=False,
+             mesh=None):
     """One-call eval (mirrors tools/eval.py run): returns (results, speed).
     Pass prebuilt (evaler, loader, run_fn taking (variables, images)) to
     reuse one compiled program across repeated evals."""
@@ -245,7 +270,7 @@ def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
     if loader is None:
         loader, _ = ev.init_data(task, rect=rect, native=native)
     if run_fn is None:
-        fn = ev.make_infer_fn(model, variables)
+        fn = ev.make_infer_fn(model, variables, mesh=mesh)
     else:
         fn = lambda images: run_fn(variables, images)
     preds, targets = ev.predict(fn, loader)
