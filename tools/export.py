@@ -39,6 +39,13 @@ def main(args=None):
     p.add_argument("--max-det", type=int, default=300)
     p.add_argument("--half", action="store_true", default=True)
     p.add_argument("--fp32", dest="half", action="store_false")
+    p.add_argument("--int8", action="store_true",
+                   help="export a TRUE int8 engine: calibrated convs run "
+                        "int8xint8->int32 on the MXU (needs --calib-pt); "
+                        "TensorRT onnx_to_trt.py analogue")
+    p.add_argument("--calib-pt", type=str, default=None,
+                   help="calibration amax json (from train.py --quant "
+                        "--calib)")
     p.add_argument("--device", default="cpu",
                    help="export runs host-side; cpu is fine")
     args = p.parse_args(args)
@@ -49,6 +56,10 @@ def main(args=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.int8:
+        assert args.calib_pt, "--int8 requires --calib-pt"
+        assert args.format == "stablehlo", "--int8 is stablehlo-only"
+
     if args.format == "stablehlo":
         from yololp_tpu.export.export import export_stablehlo
 
@@ -56,7 +67,8 @@ def main(args=None):
             args.conf_file, args.weights, args.out, batch=args.batch_size,
             img_size=args.img_size, end2end=args.end2end,
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            max_det=args.max_det, half=args.half)
+            max_det=args.max_det, half=args.half,
+            calib_pt=args.calib_pt if args.int8 else None)
         print(f"StableHLO artifact: {path} (+ {meta}, + .copts sidecar)")
         print("Run it natively: make -C deploy/pjrt_cpp && "
               f"deploy/pjrt_cpp/yololp_runner --plugin <pjrt.so> --model {path} "

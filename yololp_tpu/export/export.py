@@ -35,14 +35,30 @@ from yololp_tpu.utils.config import Config
 def build_export_fn(config, variables, end2end: bool = True,
                     conf_thres: float = 0.4, iou_thres: float = 0.45,
                     max_det: int = 300, half: bool = True,
-                    npro: int = 31, nalp: int = 24, nads: int = 37):
+                    npro: int = 31, nalp: int = 24, nads: int = 37,
+                    calib_amax=None):
+    """With `calib_amax` (a {module_path: amax} dict from PTQ calibration),
+    the exported graph EXECUTES calibrated convs in int8 on the MXU
+    (quant/int8_infer.py) — the deployable analogue of the reference's
+    TensorRT INT8 engine build (deploy/TensorRT/onnx_to_trt.py +
+    calibrator.py): weights are inlined as int8 constants, so the artifact
+    itself is the int8 engine."""
     dtype = jnp.bfloat16 if half else jnp.float32
     model = Model(config=config, npro=npro, nalp=nalp, nads=nads,
                   deploy=True, dtype=dtype)
+    if calib_amax is not None:
+        from yololp_tpu.quant.int8_infer import (int8_apply,
+                                                 quantize_kernels_int8)
+
+        weight_table = quantize_kernels_int8(variables["params"])
 
     def fn(images_u8):
         x = images_u8.astype(dtype) / jnp.asarray(255.0, dtype)
-        pred = model.apply(variables, x, train=False)
+        if calib_amax is not None:
+            pred = int8_apply(model, variables, x, calib_amax, weight_table,
+                              train=False)
+        else:
+            pred = model.apply(variables, x, train=False)
         if not end2end:
             return pred
         det, valid, num = non_max_suppression(
@@ -57,9 +73,14 @@ def export_stablehlo(config_name_or_path: str, weights: Optional[str],
                      out_path: str, batch: int = 1, img_size: int = 640,
                      end2end: bool = True, conf_thres: float = 0.4,
                      iou_thres: float = 0.45, max_det: int = 300,
-                     half: bool = True) -> Tuple[str, str]:
+                     half: bool = True,
+                     calib_pt: Optional[str] = None) -> Tuple[str, str]:
     """Export to `<out_path>` (portable StableHLO bytes) + a sidecar
-    `<out_path>.json` metadata file. Returns both paths."""
+    `<out_path>.json` metadata file. Returns both paths.
+
+    `calib_pt` (amax json from train.py --quant --calib) makes the artifact
+    a TRUE int8 engine: calibrated convs run with int8 operands / int32
+    accumulation on the MXU, kernels inlined as int8 constants."""
     config = (Config.fromfile(config_name_or_path)
               if config_name_or_path.endswith(".py")
               else Config.named(config_name_or_path))
@@ -71,9 +92,15 @@ def export_stablehlo(config_name_or_path: str, weights: Optional[str],
             dtype=jnp.bfloat16 if half else jnp.float32)
         variables = fuse_variables_jit(train_vars)
 
+    calib_amax = None
+    if calib_pt:
+        from yololp_tpu.quant.quantize import load_amax
+
+        calib_amax = load_amax(calib_pt)
+
     fn = build_export_fn(config, variables, end2end=end2end,
                          conf_thres=conf_thres, iou_thres=iou_thres,
-                         max_det=max_det, half=half)
+                         max_det=max_det, half=half, calib_amax=calib_amax)
     example = jnp.zeros((batch, img_size, img_size, 3), jnp.uint8)
     exported = jax.export.export(jax.jit(fn))(example)
 
@@ -91,6 +118,7 @@ def export_stablehlo(config_name_or_path: str, weights: Optional[str],
                     [{"name": "pred", "shape": list(exported.out_avals[0].shape),
                       "dtype": "float32"}]),
         "end2end": end2end,
+        "int8": calib_pt is not None,
         "conf_thres": conf_thres,
         "iou_thres": iou_thres,
         "max_det": max_det,
