@@ -59,6 +59,44 @@ def test_greedy_mask_matches_sequential_oracle(iou_thres):
     np.testing.assert_array_equal(ours, ref_mask)
 
 
+def test_greedy_mask_exact_at_val_scale():
+    """VERDICT r2 weak #7: the fixpoint must be exact at val conditions —
+    512 candidates, crowded clusters, low conf gate — not just for shallow
+    chains. The default (convergence-checked) loop is exact by
+    construction; this pins it against the sequential oracle at scale."""
+    n = 512
+    for trial in range(4):
+        boxes = clustered_boxes(n, n_clusters=5)
+        scores = rng.uniform(0.0, 1.0, size=n).astype(np.float32)
+        scores[rng.uniform(size=n) < 0.3] = 0.0  # conf-gated slots
+        scores = np.sort(scores)[::-1].copy()
+        ref = numpy_greedy_nms(boxes, scores, 0.65) & (scores > 0)
+        ours = np.asarray(greedy_nms_mask(
+            jnp.asarray(boxes)[None], jnp.asarray(scores)[None], 0.65))[0]
+        np.testing.assert_array_equal(ours, ref, err_msg=f"trial {trial}")
+
+
+def test_greedy_mask_exact_on_deep_chain():
+    """A 128-deep suppression chain (box i overlaps only box i+1): greedy
+    keeps every other box, and the parallel fixpoint needs ~64 iterations
+    to settle — the old fixed bound of 16 would return a WRONG mask here;
+    the convergence loop must be exact."""
+    n = 128
+    xs = np.arange(n, dtype=np.float32) * 6.0  # width 10, stride 6: IoU(i,i+1)=1/4, IoU(i,i+2)=0
+    boxes = np.stack([xs, np.zeros(n, np.float32),
+                      xs + 10.0, np.full(n, 10.0, np.float32)], -1)
+    scores = np.linspace(1.0, 0.5, n, dtype=np.float32)
+    ref = numpy_greedy_nms(boxes, scores, 0.2)
+    assert ref.sum() == n // 2  # alternating keep
+    ours = np.asarray(greedy_nms_mask(
+        jnp.asarray(boxes)[None], jnp.asarray(scores)[None], 0.2))[0]
+    np.testing.assert_array_equal(ours, ref)
+    # the legacy fixed bound is genuinely insufficient on this input
+    legacy = np.asarray(greedy_nms_mask(
+        jnp.asarray(boxes)[None], jnp.asarray(scores)[None], 0.2, iters=16))[0]
+    assert not np.array_equal(legacy, ref)
+
+
 def make_pred(boxes_xywh, task_confs, a_total=400):
     """Build a (1, A, 290) tensor with given boxes and per-task max confs."""
     n = boxes_xywh.shape[0]

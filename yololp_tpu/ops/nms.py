@@ -41,13 +41,16 @@ def _split_scores(cls):
     return out
 
 
-def greedy_nms_mask(boxes, scores, iou_thres: float, iters: int = 16):
+def greedy_nms_mask(boxes, scores, iou_thres: float, iters: int = 0):
     """Greedy NMS keep-mask for score-sorted boxes (B, K, 4) via fixpoint.
 
-    keep_i = valid_i and no kept j<i with IoU(j, i) > thres. Iterating that
-    map converges to the exact greedy solution in <= suppression-chain-depth
-    steps; `iters` bounds it (chains deeper than ~16 require pathological box
-    layouts at detection thresholds).
+    keep_i = valid_i and no kept j<i with IoU(j, i) > thres. That recurrence
+    has a unique solution (induction on i), so ANY fixpoint of the parallel
+    update map is the exact greedy answer. Default (iters=0) iterates to
+    convergence with a while_loop — exact for arbitrarily deep suppression
+    chains, and cheaper than a fixed bound when chains are shallow (the
+    common case at detection thresholds). iters>0 keeps the legacy fixed
+    bound for experiments.
     """
     k = boxes.shape[-2]
     iou = pairwise_iou(boxes, boxes)
@@ -55,11 +58,25 @@ def greedy_nms_mask(boxes, scores, iou_thres: float, iters: int = 16):
     sup_matrix = (iou > iou_thres) & higher
     valid = scores > 0.0
 
-    def body(_, keep):
+    def step(keep):
         suppressed = jnp.any(sup_matrix & keep[..., :, None], axis=-2)
         return valid & ~suppressed
 
-    return jax.lax.fori_loop(0, iters, body, valid)
+    if iters:
+        return jax.lax.fori_loop(0, iters, lambda _, kp: step(kp), valid)
+
+    def cond(state):
+        i, _, changed = state
+        return changed & (i < k)
+
+    def body(state):
+        i, keep, _ = state
+        new = step(keep)
+        return i + 1, new, jnp.any(new != keep)
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), valid, jnp.bool_(True)))
+    return keep
 
 
 @functools.partial(
@@ -74,7 +91,7 @@ def non_max_suppression(
     max_det: int = 300,
     pre_nms_topk: int = 512,
     compat_ad4_bug: bool = False,
-    nms_iters: int = 16,
+    nms_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched fixed-shape NMS.
 
