@@ -94,9 +94,55 @@ def _build_model_obj(cfg):
     return Model(config=cfg, deploy=False)
 
 
+def run_cached_epochs(mesh, dataset_dir: str, n_epochs: int = 2,
+                      batch: int = 4):
+    """The --cache-device core path on a (possibly multi-process) mesh:
+    dataset staged REPLICATED on every device, whole-epoch lax.scan with the
+    batch gather sharded over 'data'. Every process computes the identical
+    (seed, epoch)-derived index matrix, so the losses must match a
+    single-process run exactly (core/engine.py multi-host cached path)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yololp_tpu.core.train_step import init_train_state, make_train_step
+    from yololp_tpu.data.datasets import TrainValDataset
+    from yololp_tpu.data.device_cache import (DeviceCachedData,
+                                              make_cached_epoch,
+                                              put_replicated)
+    from yololp_tpu.losses.loss import LossConfig
+    from yololp_tpu.models import build_model
+    from yololp_tpu.solver.build import SolverConfig
+    from yololp_tpu.utils.config import Config
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    ds = TrainValDataset(dataset_dir, img_size=64, augment=False,
+                         task="train")
+    cache = DeviceCachedData(ds, seed=3, sharding=repl)
+
+    cfg = Config.named("yololpn")
+    _, variables = build_model(cfg, img_size=(64, 64), seed=0)
+    state = jax.device_put(init_train_state(variables), repl)
+    loss_cfg = LossConfig(img_size=(64, 64), iou_type="siou")
+    steps = cache.steps_per_epoch(batch)
+    solver_cfg = SolverConfig(epochs=n_epochs, steps_per_epoch=steps)
+    step_fn = make_train_step(_build_model_obj(cfg), loss_cfg, solver_cfg,
+                              batch_size=batch)
+    epoch_fn = jax.jit(make_cached_epoch(step_fn, cache.img_shape, data_sh))
+
+    sums = []
+    for epoch in range(n_epochs):
+        idx = put_replicated(repl)(cache.epoch_index_matrix(batch, epoch))
+        state, items = epoch_fn(state, cache.images, cache.labels,
+                                cache.masks, idx)
+        sums.append(np.asarray(jax.device_get(items)))
+    return np.stack(sums)
+
+
 def main():
     coordinator, num_procs, proc_id = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    dataset_dir = sys.argv[4] if len(sys.argv) > 4 else None
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_procs, process_id=proc_id)
     assert jax.process_count() == num_procs
@@ -105,6 +151,11 @@ def main():
     from jax.sharding import Mesh
 
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    if dataset_dir:  # --cache-device core-path mode
+        sums = run_cached_epochs(mesh, dataset_dir)
+        if proc_id == 0:
+            print("CACHED " + " ".join(f"{v:.6f}" for v in sums.ravel()))
+        return
     img, global_batch = 64, 8
     images, labels, mask = make_fixed_batch(global_batch, img)
     lo = proc_id * (global_batch // num_procs)

@@ -89,11 +89,14 @@ class Trainer:
         if getattr(args, "cache_device", False):
             # HBM-resident dataset: batches gathered on-device by index (see
             # data/device_cache.py). Deterministic no-aug protocol only.
-            # Single-host multi-device works (dataset staged replicated,
-            # batch gather sharded over 'data'); multi-host does not (each
-            # host would need its own staging + a global index protocol).
-            assert self.n_procs == 1, \
-                "--cache-device is a single-process path"
+            # Multi-device AND multi-host: the dataset is staged replicated
+            # on every device of the (global) mesh, the per-epoch index
+            # matrix is a pure function of (seed, epoch) so every process
+            # computes the identical global schedule, and the batch gather
+            # is sharded over 'data' — each device gathers its own slice
+            # locally, zero cross-device traffic.
+            assert self.n_procs == 1 or self.mesh is not None, \
+                "multi-process --cache-device requires a global device mesh"
             aug_on = [k for k, v in hyp.items()
                       if k != "test_load_size" and float(v or 0) != 0.0]
             assert not aug_on, (
@@ -113,8 +116,10 @@ class Trainer:
                                           seed=getattr(args, "seed", 0),
                                           sharding=cache_sh)
             self.train_loader = None
+            # the cached gather runs on the GLOBAL batch (sharded per
+            # device); every process steps the same schedule
             self.steps_per_epoch = max(
-                self.cache.steps_per_epoch(host_batch), 1)
+                self.cache.steps_per_epoch(self.batch_size), 1)
         else:
             self.train_loader, self.train_dataset = create_dataloader(
                 data_dict["train"], self.img_size, host_batch, hyp=hyp,
@@ -456,8 +461,21 @@ class Trainer:
             save_train_batch_vis(
                 c.host_images[i0], c.host_labels[i0], c.host_masks[i0],
                 osp.join(self.save_dir, "vis", f"train_batch_e{epoch}.jpg"))
+        if self.mesh is not None:
+            # every process computed the identical matrix (pure fn of
+            # seed+epoch), so a replicated global placement is well-defined;
+            # a plain jnp.asarray would commit to one local device and a
+            # multi-host jit would reject it
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from yololp_tpu.data.device_cache import put_replicated
+
+            idx_dev = put_replicated(
+                NamedSharding(self.mesh, P()))(idx_mat)
+        else:
+            idx_dev = jnp.asarray(idx_mat)
         self.state, items_sum = self.epoch_fn(
-            self.state, c.images, c.labels, c.masks, jnp.asarray(idx_mat))
+            self.state, c.images, c.labels, c.masks, idx_dev)
         return np.asarray(items_sum) / max(len(idx_mat), 1), len(idx_mat)
 
     def train(self, resume_path: Optional[str] = None):

@@ -81,8 +81,12 @@ def precompute_items(dataset, verbose: bool = True
         except OSError:
             pass
 
+    # pid-unique tmp names + atomic replace: concurrent precomputes (e.g.
+    # several multi-host processes sharing one filesystem) each write their
+    # own tmp and the identical final content, so last-rename wins safely
+    tmp = f".tmp.{os.getpid()}"
     images = np.lib.format.open_memmap(
-        paths["images"] + ".tmp", mode="w+", dtype=np.uint8, shape=(n, s, s, 3))
+        paths["images"] + tmp, mode="w+", dtype=np.uint8, shape=(n, s, s, 3))
     labels = np.empty((n, m, 20), np.float32)
     masks = np.empty((n, m), np.float32)
     for i in range(n):
@@ -93,10 +97,28 @@ def precompute_items(dataset, verbose: bool = True
         if verbose and (i + 1) % 2000 == 0:
             print(f"device-cache precompute: {i + 1}/{n}", flush=True)
     images.flush()
-    np.save(paths["labels"], labels)
-    np.save(paths["masks"], masks)
-    os.replace(paths["images"] + ".tmp", paths["images"])
+    np.save(paths["labels"] + tmp, labels)
+    np.save(paths["masks"] + tmp, masks)
+    for k in ("labels", "masks"):
+        # np.save appends .npy to names without the suffix
+        os.replace(paths[k] + tmp + ".npy", paths[k])
+    os.replace(paths["images"] + tmp, paths["images"])
     return np.load(paths["images"], mmap_mode="r"), labels, masks
+
+
+def put_replicated(sharding):
+    """Host-array -> device placement honoring `sharding` (None: default
+    device). Uses make_array_from_callback, which — unlike device_put —
+    accepts shardings spanning non-addressable devices, so the same code
+    stages the dataset on a single chip, a single-host mesh, or a global
+    multi-host mesh (each process feeds only its local shards; for the
+    replicated specs used here every process passes identical data)."""
+    import jax
+
+    if sharding is None:
+        return jax.device_put
+    return lambda a: jax.make_array_from_callback(
+        a.shape, sharding, lambda idx: a[idx])
 
 
 class DeviceCachedData:
@@ -111,8 +133,7 @@ class DeviceCachedData:
         host_labels, host_masks = self.host_labels, self.host_masks
         self.n = len(self.host_images)
         self.img_shape = self.host_images.shape[1:]  # (H, W, 3)
-        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
-            else jax.device_put
+        put = put_replicated(sharding)
         # stage images FLAT (N, H*W*3): gathering a 4-D uint8 array makes
         # XLA insert a whole-array layout copy inside the program (observed:
         # +7.4GB HBM -> OOM); the 2-D tiled layout is gather-native
