@@ -56,6 +56,54 @@ def _contention_report():
     return info
 
 
+def _pause_detached_runs(live):
+    """SIGSTOP the process groups of live detached runs for the duration of
+    the bench, so the driver's end-of-round measurement is never contended
+    (the BENCH_r02 failure: a background train collapsed the recorded train
+    throughput 7.6x). Targeted pids come from the pid-file convention only —
+    never pattern matching. A detached watchdog SIGCONTs every paused group
+    once this process exits, even if the bench is SIGKILLed mid-run.
+
+    Returns the list of paused pgids (for the report). Disable with
+    YOLOLP_BENCH_NO_PAUSE=1.
+    """
+    import signal
+    import subprocess
+
+    if os.environ.get("YOLOLP_BENCH_NO_PAUSE") == "1" or not live:
+        return []
+    own_pgid = os.getpgid(0)
+    paused = []
+    for entry in live:
+        pid = int(entry.rsplit(":", 1)[1])
+        try:
+            # Guard against recycled pids behind stale pid files: only pause
+            # python/bash processes (our detached runs are exactly those).
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if b"python" not in cmd and b"bash" not in cmd:
+                continue
+            pgid = os.getpgid(pid)
+            if pgid in (own_pgid, 0) or pgid in paused:
+                continue
+            os.killpg(pgid, signal.SIGSTOP)
+            paused.append(pgid)
+        except (OSError, ProcessLookupError, PermissionError):
+            continue
+    if paused:
+        # Watchdog outlives us (own session): resumes the groups when our pid
+        # disappears. `kill -0` liveness poll; SIGCONT is idempotent/harmless.
+        pgids = " ".join(str(p) for p in paused)
+        script = (f"while kill -0 {os.getpid()} 2>/dev/null; do sleep 5; "
+                  f"done; for g in {pgids}; do kill -CONT -$g 2>/dev/null; "
+                  f"done")
+        subprocess.Popen(["setsid", "bash", "-c", script],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL,
+                         stdin=subprocess.DEVNULL)
+    return paused
+
+
 def _median_iter_time(step, staged_inputs, iters):
     """Per-iteration sync + distinct inputs per iter; returns median secs.
     Conservative (includes one tunnel RTT per iteration)."""
@@ -202,6 +250,11 @@ def main():
     except (OSError, PermissionError):
         pass
     contention = _contention_report()
+    paused = _pause_detached_runs(contention.get("live_detached_runs", []))
+    if paused:
+        contention["paused_pgids_during_bench"] = paused
+        contention.pop("live_detached_runs", None)
+        time.sleep(3)  # let in-flight device work from paused runs drain
 
     import jax.numpy as jnp
 

@@ -8,6 +8,8 @@ the (B, A, 290) output. Covers both the EfficientRep/RepPAN (repvgg) and
 CSPBep/BiFusion (conv_silu, BepC3, Transpose-in-BiFusion) families.
 """
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -30,12 +32,20 @@ pytestmark = pytest.mark.skipif(
 
 def _perturb(variables, seed=0):
     """Randomize every leaf so the transplant is non-trivial (head preds are
-    zero-init; BN stats are (0,1) at init)."""
+    zero-init; BN stats are (0,1) at init).
+
+    Kernel noise is scaled by 1/sqrt(fan_in): flat-variance noise compounds a
+    ~sqrt(fan_in) gain per conv, exploding activations to ~1e31 through the
+    deep stack, where fp32 accumulation-order differences between frameworks
+    exceed any sane relative tolerance."""
     rng = np.random.default_rng(seed)
 
     def leaf(path, x):
         x = np.asarray(x, np.float32)
-        noise = rng.normal(0.0, 0.25, x.shape).astype(np.float32)
+        std = 0.25
+        if x.ndim >= 2:
+            std = 0.25 / float(np.sqrt(np.prod(x.shape[:-1])))
+        noise = rng.normal(0.0, std, x.shape).astype(np.float32)
         name = path[-1].key
         if name == "var":
             return np.abs(x + noise) + 0.05
@@ -51,7 +61,10 @@ def test_transplant_eval_forward_matches_reference(conf):
 
     config = Config.fromfile(f"yololp_tpu/configs/{conf}.py")
     model, variables = build_model(config, img_size=(64, 64), batch_size=1)
-    variables = _perturb(variables, seed=hash(conf) % 2**31)
+    # NB: not Python hash() — str hashing is randomized per process, which
+    # made the perturbation (and the test outcome, via fp32 accumulation
+    # differences near the tolerance) non-reproducible across runs.
+    variables = _perturb(variables, seed=zlib.crc32(conf.encode()))
 
     sd = to_torch_state_dict(variables, reg_max=int(config.model.head.reg_max))
     tmodel = build_reference_model(config)

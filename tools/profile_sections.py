@@ -41,6 +41,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--conf-thres", type=float, default=0.4)
     p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--stages", action="store_true",
+                   help="also time cumulative per-backbone-stage cuts")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -114,6 +116,15 @@ def main(argv=None):
     precisions = [False] + ([True] if int8_ctx else [])
     for int8 in precisions:
         tag = "int8" if int8 else "bf16"
+        if args.stages:
+            # Cumulative per-stage cuts through the backbone: quantifies how
+            # much of the int8 gap is the early high-resolution, low-channel
+            # stages (3->C stem at S^2 can't fill the MXU's 128-lane
+            # contraction either way, so int8 buys nothing there).
+            for st in ("stem", "ERBlock_2_rep", "ERBlock_3_rep",
+                       "ERBlock_4_rep", "ERBlock_5_sppf"):
+                bench(jax.jit(lambda x, q=int8, s=st: section(x, s, q)),
+                      f"..{st} {tag}")
         bench(jax.jit(lambda x, q=int8: section(x, "backbone", q)),
               f"backbone {tag}")
         bench(jax.jit(lambda x, q=int8: section(x, "neck", q)),
