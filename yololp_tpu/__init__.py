@@ -18,3 +18,23 @@ Design is TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first compile of the full model over the
+# tunneled TPU costs 2-10 minutes; every CLI/bench process retraces the same
+# fixed-shape programs, so a disk cache turns all but the first process's
+# compile into a fast deserialize. Opt out / redirect with the standard
+# JAX_COMPILATION_CACHE_DIR env var.
+import os as _os
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".cache", "jax")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+del _os
