@@ -118,10 +118,13 @@ def make_subset(data_yaml: str, n: int, workdir: str):
     os.makedirs(lbl_dir)
     names = sorted(os.listdir(src_img))[:n]
     for name in names:
-        os.symlink(osp.join(src_img, name), osp.join(img_dir, name))
+        # absolute targets: a relative target would dangle from the temp dir
+        os.symlink(osp.abspath(osp.join(src_img, name)),
+                   osp.join(img_dir, name))
         lbl = osp.splitext(name)[0] + ".txt"
         if osp.exists(osp.join(src_lbl, lbl)):
-            os.symlink(osp.join(src_lbl, lbl), osp.join(lbl_dir, lbl))
+            os.symlink(osp.abspath(osp.join(src_lbl, lbl)),
+                       osp.join(lbl_dir, lbl))
     sub = dict(data)
     sub["val"] = img_dir
     return sub, img_dir
