@@ -93,3 +93,37 @@ def test_transplant_covers_every_reference_param():
     ref_keys = {k for k in tmodel.state_dict().keys()
                 if not k.endswith("num_batches_tracked")}
     assert ref_keys == set(sd.keys())
+
+
+def test_make_subset_symlinks_resolve_from_relative_yaml(tmp_path):
+    """make_subset must produce resolvable symlinks even when the dataset
+    yaml uses cwd-relative paths (regression: relative targets dangled from
+    inside the temp workdir, so the reference loader saw an empty split)."""
+    import os
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from transplant import make_subset
+    finally:
+        sys.path.pop(0)
+
+    src = tmp_path / "ds" / "images" / "val"
+    lbl = tmp_path / "ds" / "labels" / "val"
+    src.mkdir(parents=True)
+    lbl.mkdir(parents=True)
+    (src / "a.jpg").write_bytes(b"x")
+    (lbl / "a.txt").write_text("0 0 0 0 0 0 0 0 .5 .5 .1 .1 "
+                               ".45 .45 .45 .55 .55 .55 .55 .45\n")
+    yml = tmp_path / "data.yaml"
+    rel = os.path.relpath(src, os.getcwd())
+    yml.write_text(f"val: {rel}\nnpro: 31\nnalp: 24\nnads: 37\n")
+
+    work = tmp_path / "work"
+    work.mkdir()
+    sub, img_dir = make_subset(str(yml), 1, str(work))
+    link = os.path.join(img_dir, "a.jpg")
+    assert os.path.islink(link) and os.path.exists(link), \
+        "symlink must resolve (absolute target)"
+    assert os.path.exists(os.path.join(str(work), "labels", "val", "a.txt"))
+    assert sub["val"] == img_dir
