@@ -104,6 +104,52 @@ def _pause_detached_runs(live):
     return paused
 
 
+def _device_preflight():
+    """The axon tunnel can wedge server-side (seen r3: a dead client's claim
+    blocks new sessions for tens of minutes, and fresh clients hang inside
+    jax.devices()). Probe the device with bounded SUBPROCESS attempts before
+    the parent process initializes jax, so a transient wedge delays the
+    bench instead of hanging it unrecoverably: each timed-out probe client
+    is killed (which is itself the documented wedge-recovery action) and the
+    probe retries until the budget runs out, then the bench proceeds and the
+    report says so. Budget via YOLOLP_BENCH_PREFLIGHT_S (default 1200);
+    disable with YOLOLP_BENCH_NO_PREFLIGHT=1. Returns report keys."""
+    import subprocess
+    import sys
+
+    if os.environ.get("YOLOLP_BENCH_NO_PREFLIGHT") == "1":
+        return {}
+    budget_s = float(os.environ.get("YOLOLP_BENCH_PREFLIGHT_S", "1200"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((256, 256), jnp.bfloat16); "
+             "(x @ x).block_until_ready()")
+    t0 = time.time()
+    timeouts = 0
+    while True:
+        left = budget_s - (time.time() - t0)
+        if left <= 0:
+            return {"preflight": f"device unresponsive through {timeouts} "
+                                 f"probe timeouts / {int(budget_s)}s — "
+                                 "proceeding anyway"}
+        try:
+            subprocess.run([sys.executable, "-c", probe],
+                           timeout=min(150.0, max(30.0, left)),
+                           check=True, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            if timeouts:
+                return {"preflight_recovered_after_s":
+                        int(time.time() - t0)}
+            return {}
+        except subprocess.TimeoutExpired:
+            timeouts += 1
+            time.sleep(min(20.0, max(0.0, budget_s - (time.time() - t0))))
+        except subprocess.CalledProcessError as e:
+            # non-timeout failure is not a wedge (e.g. backend not
+            # registered) — don't burn the budget retrying it
+            return {"preflight": f"probe exited rc={e.returncode} — "
+                                 "proceeding anyway"}
+
+
 def _median_iter_time(step, staged_inputs, iters):
     """Per-iteration sync + distinct inputs per iter; returns median secs.
     Conservative (includes one tunnel RTT per iteration)."""
@@ -255,6 +301,7 @@ def main():
         contention["paused_pgids_during_bench"] = paused
         contention.pop("live_detached_runs", None)
         time.sleep(3)  # let in-flight device work from paused runs drain
+    contention.update(_device_preflight())
 
     import jax.numpy as jnp
 
