@@ -111,14 +111,17 @@ def _device_preflight():
     the parent process initializes jax, so a transient wedge delays the
     bench instead of hanging it unrecoverably: each timed-out probe client
     is killed (which is itself the documented wedge-recovery action) and the
-    probe retries until the budget runs out, then the bench proceeds and the
-    report says so. Budget via YOLOLP_BENCH_PREFLIGHT_S (default 1200);
-    disable with YOLOLP_BENCH_NO_PREFLIGHT=1. Returns report keys."""
+    probe retries until the budget runs out. Budget via
+    YOLOLP_BENCH_PREFLIGHT_S (default 1200); disable with
+    YOLOLP_BENCH_NO_PREFLIGHT=1. Returns (report_keys, device_ok): on
+    device_ok=False the caller emits an error JSON and exits instead of
+    hanging output-less inside backend init (r3: probe requests reached
+    the relay but the far side never replied, for hours)."""
     import subprocess
     import sys
 
     if os.environ.get("YOLOLP_BENCH_NO_PREFLIGHT") == "1":
-        return {}
+        return {}, True
     budget_s = float(os.environ.get("YOLOLP_BENCH_PREFLIGHT_S", "1200"))
     probe = ("import jax, jax.numpy as jnp; "
              "x = jnp.ones((256, 256), jnp.bfloat16); "
@@ -129,8 +132,7 @@ def _device_preflight():
         left = budget_s - (time.time() - t0)
         if left <= 0:
             return {"preflight": f"device unresponsive through {timeouts} "
-                                 f"probe timeouts / {int(budget_s)}s — "
-                                 "proceeding anyway"}
+                                 f"probe timeouts / {int(budget_s)}s"}, False
         try:
             subprocess.run([sys.executable, "-c", probe],
                            timeout=min(150.0, max(30.0, left)),
@@ -138,16 +140,19 @@ def _device_preflight():
                            stderr=subprocess.DEVNULL)
             if timeouts:
                 return {"preflight_recovered_after_s":
-                        int(time.time() - t0)}
-            return {}
+                        int(time.time() - t0)}, True
+            return {}, True
         except subprocess.TimeoutExpired:
             timeouts += 1
+            print(f"bench preflight: device probe {timeouts} timed out "
+                  f"({int(time.time() - t0)}s elapsed), retrying",
+                  file=sys.stderr, flush=True)
             time.sleep(min(20.0, max(0.0, budget_s - (time.time() - t0))))
         except subprocess.CalledProcessError as e:
             # non-timeout failure is not a wedge (e.g. backend not
             # registered) — don't burn the budget retrying it
             return {"preflight": f"probe exited rc={e.returncode} — "
-                                 "proceeding anyway"}
+                                 "proceeding anyway"}, True
 
 
 def _median_iter_time(step, staged_inputs, iters):
@@ -301,7 +306,19 @@ def main():
         contention["paused_pgids_during_bench"] = paused
         contention.pop("live_detached_runs", None)
         time.sleep(3)  # let in-flight device work from paused runs drain
-    contention.update(_device_preflight())
+    preflight, device_ok = _device_preflight()
+    contention.update(preflight)
+    if not device_ok:
+        # emit an honest, parseable artifact rather than hanging inside
+        # backend init with no output at all
+        err = {"metric": "yololps 640x640 e2e inference (fwd+decode+NMS, "
+                         "bf16, b128/chip) per chip",
+               "value": None, "unit": "images/sec", "vs_baseline": None,
+               "error": "TPU tunnel unresponsive (server-side wedge); "
+                        "no measurement possible"}
+        err.update(contention)
+        print(json.dumps(err))
+        raise SystemExit(3)
 
     import jax.numpy as jnp
 
