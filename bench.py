@@ -78,10 +78,21 @@ def _pause_detached_runs(live):
         pid = int(entry.rsplit(":", 1)[1])
         try:
             # Guard against recycled pids behind stale pid files: only pause
-            # python/bash processes (our detached runs are exactly those).
+            # python/bash processes (our detached runs are exactly those)
+            # whose cwd or cmdline points into this repo — an unrelated
+            # daemon that drops a pid file in /tmp must not be frozen.
             with open(f"/proc/{pid}/cmdline", "rb") as f:
                 cmd = f.read()
             if b"python" not in cmd and b"bash" not in cmd:
+                continue
+            here = os.path.dirname(os.path.abspath(__file__))
+            try:
+                cwd = os.readlink(f"/proc/{pid}/cwd")
+            except OSError:
+                cwd = ""
+            if not (cwd.startswith(here)
+                    or here.encode() in cmd
+                    or b"yololp" in cmd.lower()):
                 continue
             pgid = os.getpgid(pid)
             if pgid in (own_pgid, 0) or pgid in paused:
@@ -293,6 +304,37 @@ def bench_train_step(batch=32, img=640, iters=12):
     return batch / float(np.median(times))
 
 
+def bench_native_runner(artifact, batch=128, size=640, iters=20,
+                        timeout_s=1200):
+    """Best-effort throughput of the native C++ PJRT client
+    (deploy/pjrt_cpp/yololp_runner) on a pre-exported StableHLO artifact —
+    the deployment-path number (TPU-native analogue of the reference's
+    trt-profile table, tools/qat/README.md:73-80). Returns images/sec, or
+    None when the artifact/plugin/binary is absent (e.g. /tmp wiped);
+    raises on a real runner failure so the caller records the error."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runner = os.path.join(here, "deploy", "pjrt_cpp", "yololp_runner")
+    plugin = "/opt/axon/libaxon_pjrt.so"
+    if not (os.path.exists(artifact) and os.path.exists(plugin)):
+        return None
+    if not os.path.exists(runner):
+        subprocess.run(["make", "-C", os.path.dirname(runner)], check=True,
+                       capture_output=True, timeout=300)
+    out = subprocess.run(
+        [runner, "--plugin", plugin, "--model", artifact,
+         "--copts", artifact + ".copts", "--bench", str(iters),
+         "--batch", str(batch), "--size", str(size)],
+        capture_output=True, text=True, timeout=timeout_s)
+    for line in out.stdout.splitlines():
+        if '"native_bench"' in line:
+            return float(json.loads(line)["native_bench"]["images_per_sec"])
+    raise RuntimeError(
+        f"runner rc={out.returncode}: {out.stderr[-150:]}" if out.returncode
+        else f"no native_bench line in: {out.stdout[-150:]}")
+
+
 def main():
     # Run at elevated priority so stray niced background work (the ops
     # convention for long CPU jobs here) cannot starve the timing loops.
@@ -363,6 +405,14 @@ def main():
             result["train_ms_per_step_b32"] = round(32e3 / tr_ips, 1)
         except Exception as e:  # noqa: BLE001
             result["train_error"] = str(e)[:200]
+        for key, art in (("native_int8", "/tmp/yololps_int8_640.stablehlo"),
+                         ("native_bf16", "/tmp/yololps_bf16_640.stablehlo")):
+            try:
+                n_ips = bench_native_runner(art)
+                if n_ips is not None:
+                    result[f"{key}_images_per_sec"] = round(n_ips, 1)
+            except Exception as e:  # noqa: BLE001
+                result[f"{key}_error"] = str(e)[:200]
     result.update(contention)
     post = _contention_report()
     if post.get("load_1m", 0) > contention.get("load_1m", 0) + 1:

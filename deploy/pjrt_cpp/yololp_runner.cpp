@@ -286,6 +286,21 @@ int main(int argc, char** argv) {
   // host link is out of the measured path; device_complete event awaited
   // every iteration; median-free aggregate over the whole loop)
   if (a.bench > 0) {
+    // Query the artifact's real output count: an end2end export has 3
+    // outputs (dets, scores, num) and we sync on the last (tiny) one; a
+    // raw export has 1. Hardcoding 3 dereferenced a null buffer on raw
+    // artifacts.
+    PJRT_LoadedExecutable_GetExecutable_Args ge;
+    std::memset(&ge, 0, sizeof(ge));
+    ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ge.loaded_executable = executable;
+    Check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
+    PJRT_Executable_NumOutputs_Args no;
+    std::memset(&no, 0, sizeof(no));
+    no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    no.executable = ge.executable;
+    Check(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs");
+    const size_t kNumOuts = no.num_outputs;
     const int kStaged = 3;
     size_t nbytes = static_cast<size_t>(a.batch) * a.size * a.size * 3;
     std::vector<PJRT_Buffer*> staged;
@@ -323,7 +338,7 @@ int main(int argc, char** argv) {
     auto run_once = [&](PJRT_Buffer* in) {
       PJRT_Buffer* args1[1] = {in};
       PJRT_Buffer* const* argl[1] = {args1};
-      std::vector<PJRT_Buffer*> outs(3, nullptr);
+      std::vector<PJRT_Buffer*> outs(kNumOuts, nullptr);
       PJRT_Buffer** outl[1] = {outs.data()};
       PJRT_Event* ev = nullptr;
       PJRT_LoadedExecutable_Execute_Args ex;
@@ -341,7 +356,7 @@ int main(int argc, char** argv) {
       PJRT_Buffer_ToHostBuffer_Args th;
       std::memset(&th, 0, sizeof(th));
       th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-      th.src = outs[2];
+      th.src = outs[kNumOuts - 1];
       Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHost(num,size)");
       std::vector<uint8_t> num_host(th.dst_size);
       th.dst = num_host.data();

@@ -41,20 +41,22 @@ def main(argv=None):
     from yololp_tpu.data.synthetic import make_synthetic_dataset
 
     t0 = time.time()
-    # resume: count existing files once, round down to a chunk boundary
-    done = 0
-    tdir = osp.join(args.root, "images", "train")
-    if osp.isdir(tdir):
-        done = (sum(1 for f in os.listdir(tdir) if f.endswith(".jpg"))
-                // args.chunk) * args.chunk
-        if done:
-            print(f"resuming at train image {done}")
+
+    def _resume_point(split):
+        # count existing files once, round down to a chunk boundary
+        d = osp.join(args.root, "images", split)
+        if not osp.isdir(d):
+            return 0
+        n = sum(1 for f in os.listdir(d) if f.endswith(".jpg"))
+        return (n // args.chunk) * args.chunk
+
+    done = _resume_point("train")
+    if done:
+        print(f"resuming at train image {done}")
     for start in range(done, args.n_train, args.chunk):
         n = min(args.chunk, args.n_train - start)
-        # vals generated with the first chunk only (separate rng stream)
-        nv = args.n_val if start == done == 0 else 0
-        data = make_synthetic_dataset(
-            args.root, n_train=n, n_val=nv, img_size=args.img_size,
+        make_synthetic_dataset(
+            args.root, n_train=n, n_val=0, img_size=args.img_size,
             seed=args.seed, cjk_font_path=args.cjk_font,
             ratio_min=args.ratio_min, ratio_max=args.ratio_max,
             start=start, diversity=args.diversity)
@@ -62,6 +64,28 @@ def main(argv=None):
         print(f"train {start + n}/{args.n_train}  ({el:.0f}s elapsed)",
               flush=True)
 
+    # val resumes independently so an interrupted val generation completes
+    # on re-run (same chunked rng-stream scheme as train)
+    vdone = _resume_point("val")
+    if vdone:
+        print(f"resuming at val image {vdone}")
+    for start in range(vdone, args.n_val, args.chunk):
+        n = min(args.chunk, args.n_val - start)
+        make_synthetic_dataset(
+            args.root, n_train=0, n_val=n, img_size=args.img_size,
+            seed=args.seed, cjk_font_path=args.cjk_font,
+            ratio_min=args.ratio_min, ratio_max=args.ratio_max,
+            start=start, diversity=args.diversity)
+        el = time.time() - t0
+        print(f"val {start + n}/{args.n_val}  ({el:.0f}s elapsed)",
+              flush=True)
+
+    # yaml computed independently of the loops so an already-complete
+    # generation still (re)writes it
+    data = {"train": osp.join(args.root, "images", "train"),
+            "val": osp.join(args.root, "images", "val"),
+            "test": osp.join(args.root, "images", "val"),
+            "is_coco": False, "npro": 31, "nalp": 24, "nads": 37}
     yaml_path = args.root.rstrip("/") + ".yaml"
     with open(yaml_path, "w") as f:
         for k, v in data.items():

@@ -86,6 +86,8 @@ class Evaler:
         staged with the matching input sharding; requires `variables` and
         batch_size % mesh size == 0 (predict pads every batch to
         batch_size). Multi-device analogue of the reference's DDP eval."""
+        self._put = None  # cleared so a later non-mesh fn doesn't reuse a
+        # stale sharded placement from a previous mesh build
         if mesh is not None:
             if variables is None:
                 raise ValueError("mesh eval needs concrete variables")

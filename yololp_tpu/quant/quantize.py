@@ -136,8 +136,12 @@ def merge_calib_stats(per_batch: List[Dict], mode: str = "max") -> Dict:
 
 def _amax_percentile(hist: np.ndarray, edges: np.ndarray,
                      percentile: float) -> float:
-    """pytorch-quantization _compute_amax_percentile: right edge of the bin
-    where the cumulative count first reaches the percentile."""
+    """pytorch-quantization _compute_amax_percentile, with one deliberate
+    deviation: the reference returns edges[idx] (the LEFT edge of the bin
+    where the cdf first reaches the percentile), which degenerates to
+    amax=0.0 (a zero quant scale) when the first bin alone crosses the
+    percentile. We return the bin's RIGHT edge — one bin wider (negligible
+    at 2048 bins), never zero."""
     total = hist.sum()
     if total <= 0:
         return float(edges[-1])
