@@ -62,3 +62,34 @@ def test_int8_full_model_close_to_fp():
     y_fq = quantized_apply(model, qvars, x, amax)
     err_sim = np.abs(np.asarray(y_i8[..., 13:]) - np.asarray(y_fq[..., 13:])).max()
     assert err_sim < 0.05, err_sim
+
+
+def test_int8_chained_repblocks_match_per_conv():
+    """The fused int8->int8 RepBlock chain must agree with the per-conv
+    quantize/dequant path (identical math up to the dtype the inter-link
+    activation is rounded in: f32 accumulator chain vs bf16 round-trip)."""
+    cfg = Config.named("yololpn")
+    _, tv = build_model(cfg, img_size=(64, 64))
+    variables = fuse_variables(tv)
+    model = Model(config=cfg, deploy=True)
+    batch = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    amax = calibrate(model, variables, [batch], method="max")
+    table = quantize_kernels_int8(variables["params"])
+
+    # the chain must actually engage: yololpn has RepVGG RepBlock stages
+    # whose every sub-conv is calibrated
+    chain_paths = [p for p in amax if "_rep/" in p and "/conv" in p]
+    assert chain_paths, sorted(amax)[:8]
+
+    x = jnp.asarray(batch).astype(jnp.float32) / 255.0
+    y_chain = int8_apply(model, variables, x, amax, table, train=False,
+                         chain_repblocks=True)
+    y_per = int8_apply(model, variables, x, amax, table, train=False,
+                       chain_repblocks=False)
+    err = np.abs(np.asarray(y_chain[..., 13:])
+                 - np.asarray(y_per[..., 13:])).max()
+    assert err < 0.05, err
+    # boxes (first 4 cols, absolute pixels) within a quantization step
+    berr = np.abs(np.asarray(y_chain[..., :4])
+                  - np.asarray(y_per[..., :4])).max()
+    assert berr < 2.0, berr
