@@ -145,3 +145,37 @@ def test_nms_ad4_compat_flag():
     _, _, n_compat = non_max_suppression(make_pred(boxes, confs), conf_thres=0.28,
                                          iou_thres=0.45, compat_ad4_bug=True)
     assert int(n_fixed[0]) == 0 and int(n_compat[0]) == 1
+
+
+def test_stable_compact_order_matches_argsort():
+    """The cumsum+scatter compaction is exactly argsort(~keep, stable)."""
+    from yololp_tpu.ops.nms import stable_compact_order
+
+    rng = np.random.default_rng(0)
+    for kk, md in ((17, 5), (64, 64), (512, 300)):
+        keep = jnp.asarray(rng.random((4, kk)) < 0.3)
+        want = jnp.argsort(~keep, axis=-1, stable=True)[..., :md]
+        got = stable_compact_order(keep, md)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # degenerate rows: all kept / none kept
+    keep = jnp.asarray([[True] * 8, [False] * 8])
+    np.testing.assert_array_equal(
+        np.asarray(stable_compact_order(keep, 8)),
+        np.asarray(jnp.argsort(~keep, axis=-1, stable=True)))
+
+
+def test_nms_approx_selector_agrees_on_clear_scene():
+    """approx_max_k candidate selection returns the same detections when
+    candidates are well separated (the deployment operating point)."""
+    boxes = np.array([[100, 100, 50, 40], [300, 200, 60, 50],
+                      [101, 101, 50, 40]], np.float32)
+    confs = np.tile(np.array([[0.9], [0.8], [0.7]], np.float32), (1, 8))
+    pred = make_pred(boxes, confs)
+    det_a, val_a, n_a = non_max_suppression(pred, conf_thres=0.25,
+                                            iou_thres=0.45,
+                                            candidate_selector="approx",
+                                            pre_nms_topk=128)
+    det_t, val_t, n_t = non_max_suppression(pred, conf_thres=0.25,
+                                            iou_thres=0.45, pre_nms_topk=128)
+    np.testing.assert_array_equal(np.asarray(n_a), np.asarray(n_t))
+    np.testing.assert_allclose(np.asarray(det_a), np.asarray(det_t))

@@ -79,10 +79,30 @@ def greedy_nms_mask(boxes, scores, iou_thres: float, iters: int = 0):
     return keep
 
 
+def stable_compact_order(keep: jnp.ndarray, max_det: int) -> jnp.ndarray:
+    """Order that moves kept slots to the front, preserving relative order.
+
+    Equivalent to `argsort(~keep, stable=True)[..., :max_det]` but built from
+    two cumsums + one scatter instead of a full sort: dest(kept_i) =
+    (#kept before i), dest(dropped_i) = n_kept + (#dropped before i) — a
+    permutation by construction, inverted with one `.at[].set`. TPU sorts
+    are expensive relative to scans; this is the compaction half of the
+    NMS cost named by ops/pallas_nms.py's profiling note.
+    """
+    k = keep.shape[-1]
+    ck = jnp.cumsum(keep, axis=-1)
+    n_kept = ck[..., -1:]
+    dest = jnp.where(keep, ck - 1, n_kept + jnp.cumsum(~keep, axis=-1) - 1)
+    src = jnp.broadcast_to(jnp.arange(k), keep.shape)
+    order = jnp.zeros(keep.shape, jnp.int32)
+    order = jax.vmap(lambda o, d, s: o.at[d].set(s))(order, dest, src)
+    return order[..., :max_det]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk",
-                     "compat_ad4_bug", "nms_iters"),
+                     "compat_ad4_bug", "nms_iters", "candidate_selector"),
 )
 def non_max_suppression(
     prediction: jnp.ndarray,
@@ -92,11 +112,15 @@ def non_max_suppression(
     pre_nms_topk: int = 512,
     compat_ad4_bug: bool = False,
     nms_iters: int = 0,
+    candidate_selector: str = "topk",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched fixed-shape NMS.
 
     Args:
       prediction: (B, A, 290) decoded head output.
+      candidate_selector: "topk" (exact lax.top_k) or "approx"
+        (lax.approx_max_k, the TPU-native PartialReduce candidate select —
+        faster; may miss a sub-threshold tail candidate, recall>=0.95).
     Returns:
       detections: (B, max_det, 28) padded with zeros.
       valid: (B, max_det) bool keep mask.
@@ -123,7 +147,10 @@ def non_max_suppression(
     gated_score = jnp.where(gate, score, 0.0)
 
     k = min(pre_nms_topk, a)
-    top_score, top_idx = jax.lax.top_k(gated_score, k)  # sorted descending
+    if candidate_selector == "approx" and k < a:
+        top_score, top_idx = jax.lax.approx_max_k(gated_score, k)
+    else:
+        top_score, top_idx = jax.lax.top_k(gated_score, k)  # sorted descending
     take = lambda t: jnp.take_along_axis(
         t, top_idx[..., None] if t.ndim == 3 else top_idx, axis=1)
     box_k = take(box)
@@ -134,7 +161,7 @@ def non_max_suppression(
     keep = greedy_nms_mask(box_k, top_score, iou_thres, iters=nms_iters)
 
     # stable-compact kept detections to the front, capped at max_det
-    order = jnp.argsort(~keep, axis=-1, stable=True)[..., :max_det]
+    order = stable_compact_order(keep, max_det)
     gather = lambda t: jnp.take_along_axis(
         t, order[..., None] if t.ndim == 3 else order, axis=1)
     det = jnp.concatenate(
