@@ -7,7 +7,13 @@ tools/train.py + core/engine.py use (reference: DDP per-rank batches,
 yolov6/core/engine.py:365). Rank 0 prints per-step losses for comparison
 against a single-process run on the same global batch.
 
-Usage: python _multihost_worker.py <coordinator> <num_procs> <proc_id>
+Usage: python _multihost_worker.py <coordinator> <num_procs> <proc_id> \
+           [devs_per_proc] [dataset_dir]
+
+devs_per_proc > 1 gives each process several virtual local devices, so the
+global mesh SPANS processes with multiple local shards per process — the
+v5e-pod topology (multiple chips per host, DCN across hosts) rather than
+the 1-chip-per-host degenerate case.
 """
 
 import os
@@ -20,10 +26,11 @@ if __name__ == "__main__":
     # device_count=1 would poison every later subprocess that builds a
     # virtual CPU mesh (this bit tests/test_parallel.py once).
     os.environ["JAX_PLATFORMS"] = "cpu"
+    _devs = sys.argv[4] if len(sys.argv) > 4 else "1"
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
              if "xla_force_host_platform_device_count" not in f]
     os.environ["XLA_FLAGS"] = " ".join(
-        flags + ["--xla_force_host_platform_device_count=1"])
+        flags + [f"--xla_force_host_platform_device_count={_devs}"])
 
 import jax  # noqa: E402
 
@@ -81,9 +88,12 @@ def run_steps(mesh, images, labels, mask, n_steps: int = 3,
 
     state = jax.device_put(state, repl)
     losses = []
-    for _ in range(n_steps):
-        state, total, _ = step(state, to_dev(images), to_dev(labels),
-                               to_dev(mask))
+    for i in range(n_steps):
+        im, lb, mk = to_dev(images), to_dev(labels), to_dev(mask)
+        if i == 0 and multihost:
+            step.lower(state, im, lb, mk).compile()
+            barrier("train_step_compiled")
+        state, total, _ = step(state, im, lb, mk)
         losses.append(float(jax.device_get(total)))
     return losses
 
@@ -92,6 +102,20 @@ def _build_model_obj(cfg):
     from yololp_tpu.models import Model
 
     return Model(config=cfg, deploy=False)
+
+
+def barrier(name: str, timeout_ms: int = 900_000):
+    """Coordination-service barrier (NOT a gloo collective).
+
+    XLA's gloo KV-store rendezvous has a hardcoded 30s deadline, so any
+    cross-process collective whose gloo context is created right after a
+    long, scheduler-skewed local compile can die with DEADLINE_EXCEEDED on
+    a contended 1-CPU host. The fix pattern: AOT-compile, hold everyone
+    here (gRPC barrier, our own generous timeout), then execute — gloo
+    context creation happens with ~zero skew."""
+    client = jax._src.distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
 
 
 def run_cached_epochs(mesh, dataset_dir: str, n_epochs: int = 2,
@@ -130,9 +154,14 @@ def run_cached_epochs(mesh, dataset_dir: str, n_epochs: int = 2,
                               batch_size=batch)
     epoch_fn = jax.jit(make_cached_epoch(step_fn, cache.img_shape, data_sh))
 
+    multihost = jax.process_count() > 1
     sums = []
     for epoch in range(n_epochs):
         idx = put_replicated(repl)(cache.epoch_index_matrix(batch, epoch))
+        if epoch == 0 and multihost:
+            epoch_fn.lower(state, cache.images, cache.labels, cache.masks,
+                           idx).compile()
+            barrier("cached_epoch_compiled")
         state, items = epoch_fn(state, cache.images, cache.labels,
                                 cache.masks, idx)
         sums.append(np.asarray(jax.device_get(items)))
@@ -142,15 +171,31 @@ def run_cached_epochs(mesh, dataset_dir: str, n_epochs: int = 2,
 def main():
     coordinator, num_procs, proc_id = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
-    dataset_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    devs_per_proc = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    dataset_dir = sys.argv[5] if len(sys.argv) > 5 else None
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_procs, process_id=proc_id)
     assert jax.process_count() == num_procs
-    assert len(jax.devices()) == num_procs, len(jax.devices())
+    assert len(jax.local_devices()) == devs_per_proc, len(jax.local_devices())
+    assert len(jax.devices()) == num_procs * devs_per_proc, len(jax.devices())
 
-    from jax.sharding import Mesh
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    # Warm-up collective while both processes are still in lockstep: the
+    # gloo context for the all-device group is created with ~0 skew here.
+    # Without it, the FIRST real collective fires only after minutes of
+    # per-process jit compilation, and on a contended 1-CPU host the
+    # processes can arrive >30s apart — past XLA's hardcoded gloo KV-store
+    # deadline (GetKeyValue ... 30s), killing the run.
+    data_sh = NamedSharding(mesh, P("data"))
+    warm = jax.jit(lambda x: x.sum(), in_shardings=data_sh,
+                   out_shardings=NamedSharding(mesh, P()))
+    x = jax.make_array_from_process_local_data(
+        data_sh, np.ones(devs_per_proc, np.float32),
+        (num_procs * devs_per_proc,))
+    np.testing.assert_allclose(jax.device_get(warm(x)),
+                               num_procs * devs_per_proc)
     if dataset_dir:  # --cache-device core-path mode
         sums = run_cached_epochs(mesh, dataset_dir)
         if proc_id == 0:

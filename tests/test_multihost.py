@@ -78,7 +78,8 @@ def test_two_process_cache_device_matches_single_process(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coordinator, "2", str(i), train_dir],
+            [sys.executable, WORKER, coordinator, "2", str(i), "2",
+             train_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=HERE)
         for i in range(2)
@@ -94,8 +95,45 @@ def test_two_process_cache_device_matches_single_process(tmp_path):
 
     from tests._multihost_worker import run_cached_epochs
 
-    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    # workers ran 2 procs x 2 local devices; compare on a 4-device mesh
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
     single = run_cached_epochs(mesh, train_dir).ravel()
+
+    assert np.isfinite(multi).all() and np.isfinite(single).all()
+    np.testing.assert_allclose(multi, single, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_two_process_four_device_training_matches_single_process():
+    """VERDICT r3 #8: the mesh must span processes with MULTIPLE local
+    devices per process (the v5e-pod topology: several chips per host, DCN
+    across hosts) — each process contributes a 4-shard local slice of the
+    8-image global batch via make_array_from_process_local_data."""
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coordinator, "2", str(i), "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=HERE)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    loss_line = [ln for ln in outs[0].splitlines() if ln.startswith("LOSSES")]
+    assert loss_line, outs[0][-2000:]
+    multi = np.array([float(v) for v in loss_line[0].split()[1:]])
+
+    from jax.sharding import Mesh
+
+    from tests._multihost_worker import make_fixed_batch, run_steps
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    images, labels, mask = make_fixed_batch(8, 64)
+    single = np.array(run_steps(mesh, images, labels, mask, multihost=False))
 
     assert np.isfinite(multi).all() and np.isfinite(single).all()
     np.testing.assert_allclose(multi, single, rtol=2e-3, atol=2e-3)
