@@ -151,7 +151,14 @@ def main(argv=None):
     p.add_argument("--conf-thres", type=float, default=0.4)
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--skip-micro", action="store_true")
+    p.add_argument("--device", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
+
+    if args.device == "cpu":
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     result = {}
     if not args.skip_micro:
