@@ -38,6 +38,10 @@ def get_args_parser():
     p.add_argument("--mesh", type=int, default=0,
                    help="shard the eval batch data-parallel over N devices "
                         "(0 = single-device); batch-size must divide by N")
+    p.add_argument("--nms-selector", default="topk",
+                   choices=["topk", "approx"],
+                   help="pre-NMS candidate selection: exact lax.top_k or "
+                        "lax.approx_max_k (TPU PartialReduce, faster)")
     p.add_argument("--native-preproc", action="store_true",
                    help="native C++ threaded batch decode+letterbox for the "
                         "val loader (plain square protocol only)")
@@ -149,7 +153,8 @@ def main(args=None):
         iou_thres=args.iou_thres, half=args.half, workers=args.workers,
         eval_hyp=eval_hyp, task="val" if args.task == "speed" else args.task,
         return_preds=args.save_json, run_fn=run_fn, rect=args.rect,
-        native=args.native_preproc, mesh=mesh)
+        native=args.native_preproc, mesh=mesh,
+        nms_selector=args.nms_selector)
     if args.save_json:
         results, speed, (preds, targets, paths) = out
         from yololp_tpu.utils.coco import (

@@ -33,7 +33,8 @@ class Evaler:
     def __init__(self, data_dict: Dict, batch_size: int = 32, img_size: int = 640,
                  conf_thres: float = 0.03, iou_thres: float = 0.65,
                  half: bool = True, workers: int = 4, max_det: int = 300,
-                 eval_hyp: Optional[Dict] = None):
+                 eval_hyp: Optional[Dict] = None,
+                 nms_selector: str = "topk"):
         self.data = data_dict
         self.batch_size = batch_size
         self.img_size = img_size
@@ -42,6 +43,7 @@ class Evaler:
         self.half = half
         self.workers = workers
         self.max_det = max_det
+        self.nms_selector = nms_selector  # "topk" | "approx" (ops/nms.py)
         self.eval_hyp = eval_hyp or {}
         self.speed_result = np.zeros(4)  # n, pre ms, infer ms, post ms
 
@@ -104,6 +106,7 @@ class Evaler:
             return run
 
         conf, iou, md = self.conf_thres, self.iou_thres, self.max_det
+        sel = self.nms_selector
 
         @jax.jit
         def run_v(vars_, images_u8):
@@ -111,7 +114,7 @@ class Evaler:
             pred = model.apply(vars_, x, train=False)
             return non_max_suppression(pred.astype(jnp.float32),
                                        conf_thres=conf, iou_thres=iou,
-                                       max_det=md)
+                                       max_det=md, candidate_selector=sel)
 
         if variables is None:
             return run_v
@@ -261,13 +264,13 @@ def run_eval(model, variables, data_dict, batch_size=32, img_size=640,
              conf_thres=0.03, iou_thres=0.65, half=True, workers=4,
              eval_hyp=None, task="val", run_fn=None, loader=None,
              evaler=None, return_preds=False, rect=False, native=False,
-             mesh=None):
+             mesh=None, nms_selector="topk"):
     """One-call eval (mirrors tools/eval.py run): returns (results, speed).
     Pass prebuilt (evaler, loader, run_fn taking (variables, images)) to
     reuse one compiled program across repeated evals."""
     ev = evaler or Evaler(data_dict, batch_size, img_size, conf_thres,
                           iou_thres, half=half, workers=workers,
-                          eval_hyp=eval_hyp)
+                          eval_hyp=eval_hyp, nms_selector=nms_selector)
     ev.speed_result = np.zeros(4)
     if loader is None:
         loader, _ = ev.init_data(task, rect=rect, native=native)
