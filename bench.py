@@ -86,15 +86,33 @@ def _pause_detached_runs(live):
             if b"python" not in cmd and b"bash" not in cmd:
                 continue
             here = os.path.dirname(os.path.abspath(__file__))
-            try:
-                cwd = os.readlink(f"/proc/{pid}/cwd")
-            except OSError:
-                cwd = ""
-            if not (cwd.startswith(here)
-                    or here.encode() in cmd
-                    or b"yololp" in cmd.lower()):
-                continue
+
+            def _repo_affine(p):
+                try:
+                    with open(f"/proc/{p}/cmdline", "rb") as fh:
+                        c = fh.read()
+                    w = os.readlink(f"/proc/{p}/cwd")
+                except OSError:
+                    return False
+                return (w.startswith(here) or here.encode() in c
+                        or b"yololp" in c.lower())
+
             pgid = os.getpgid(pid)
+            if not _repo_affine(pid):
+                # The pid-file leader may be a plain `bash /tmp/q.sh`
+                # wrapper with cwd outside the repo whose CHILD is the repo
+                # work (train.py etc.) — scan the group before giving up.
+                members = []
+                for d in os.listdir("/proc"):
+                    if not d.isdigit():
+                        continue
+                    try:
+                        if os.getpgid(int(d)) == pgid:
+                            members.append(int(d))
+                    except (OSError, ProcessLookupError):
+                        continue
+                if not any(_repo_affine(m) for m in members):
+                    continue
             if pgid in (own_pgid, 0) or pgid in paused:
                 continue
             os.killpg(pgid, signal.SIGSTOP)
@@ -362,6 +380,22 @@ def main():
         print(json.dumps(err))
         raise SystemExit(3)
 
+    # Native C++ PJRT runner benches FIRST, before this process creates its
+    # own JAX client: the tunnel admits one claim at a time, so spawning the
+    # runner while the parent holds a live client risks the subprocess
+    # stalling in plugin init to its full timeout (and at best measures
+    # under client contention, which CLAUDE.md says invalidates timings).
+    native = {}
+    if os.environ.get("YOLOLP_BENCH_FAST") != "1":
+        for key, art in (("native_int8", "/tmp/yololps_int8_640.stablehlo"),
+                         ("native_bf16", "/tmp/yololps_bf16_640.stablehlo")):
+            try:
+                n_ips = bench_native_runner(art)
+                if n_ips is not None:
+                    native[f"{key}_images_per_sec"] = round(n_ips, 1)
+            except Exception as e:  # noqa: BLE001 — secondary metric
+                native[f"{key}_error"] = str(e)[:200]
+
     import jax.numpy as jnp
 
     from yololp_tpu.layers.fuse import fuse_variables_jit as fuse_variables
@@ -405,14 +439,7 @@ def main():
             result["train_ms_per_step_b32"] = round(32e3 / tr_ips, 1)
         except Exception as e:  # noqa: BLE001
             result["train_error"] = str(e)[:200]
-        for key, art in (("native_int8", "/tmp/yololps_int8_640.stablehlo"),
-                         ("native_bf16", "/tmp/yololps_bf16_640.stablehlo")):
-            try:
-                n_ips = bench_native_runner(art)
-                if n_ips is not None:
-                    result[f"{key}_images_per_sec"] = round(n_ips, 1)
-            except Exception as e:  # noqa: BLE001
-                result[f"{key}_error"] = str(e)[:200]
+    result.update(native)
     result.update(contention)
     post = _contention_report()
     if post.get("load_1m", 0) > contention.get("load_1m", 0) + 1:

@@ -301,6 +301,17 @@ int main(int argc, char** argv) {
     no.executable = ge.executable;
     Check(g_api->PJRT_Executable_NumOutputs(&no), "NumOutputs");
     const size_t kNumOuts = no.num_outputs;
+    if (kNumOuts < 2) {
+      // Raw (non-end2end) artifacts have a single huge prediction output;
+      // syncing on it would pull ~1 GB/iter over the host link and the
+      // "bench" would measure tunnel bandwidth, not the model. Bench mode
+      // therefore requires an end2end export whose last output is the tiny
+      // (B,) num_valid tensor (ADVICE r3: reject rather than mis-measure).
+      std::fprintf(stderr,
+                   "--bench requires an end2end artifact (got %zu output); "
+                   "re-export with --end2end\n", kNumOuts);
+      return 4;
+    }
     const int kStaged = 3;
     size_t nbytes = static_cast<size_t>(a.batch) * a.size * a.size * 3;
     std::vector<PJRT_Buffer*> staged;

@@ -82,8 +82,25 @@ def test_int8_chained_repblocks_match_per_conv():
     assert chain_paths, sorted(amax)[:8]
 
     x = jnp.asarray(batch).astype(jnp.float32) / 255.0
-    y_chain = int8_apply(model, variables, x, amax, table, train=False,
-                         chain_repblocks=True)
+    # spy on _chain_repblock so a naming-contract drift (the exact hazard
+    # layers/blocks.py documents) cannot make this test pass vacuously by
+    # silently falling back to the per-conv path on both sides
+    import yololp_tpu.quant.int8_infer as int8_mod
+
+    calls = []
+    real_chain = int8_mod._chain_repblock
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_chain(*a, **kw)
+
+    int8_mod._chain_repblock = spy
+    try:
+        y_chain = int8_apply(model, variables, x, amax, table, train=False,
+                             chain_repblocks=True)
+    finally:
+        int8_mod._chain_repblock = real_chain
+    assert calls, "int8 RepBlock chain interceptor never engaged"
     y_per = int8_apply(model, variables, x, amax, table, train=False,
                        chain_repblocks=False)
     err = np.abs(np.asarray(y_chain[..., 13:])

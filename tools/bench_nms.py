@@ -85,20 +85,20 @@ def main(argv=None):
             res[f"{sel}_iters{iters_k}_ms"] = round(bench(f), 3)
 
     # isolated candidate select: return only (scores, idx) so DCE removes
-    # the suppression + compaction stages
+    # the suppression + compaction stages. Score layout comes from the real
+    # NMS module so the probe can never drift from the measured program.
+    from yololp_tpu.ops.nms import _split_scores
+
+    k = min(args.pre_nms_topk, A)
     for sel in ("topk", "approx"):
         def cand(p_, s=sel):
-            obj = p_[..., 4:5]
-            cls = p_[..., 13:] * obj
-            # mean-of-8 gate score (ops/nms.py layout)
-            parts = [cls[..., :31].max(-1), cls[..., 31:55].max(-1)]
-            for i in range(6):
-                parts.append(cls[..., 55 + i * 37: 55 + (i + 1) * 37].max(-1))
-            score = jnp.stack(parts, -1).mean(-1)
+            cls = p_[..., 13:] * p_[..., 4:5]
+            score = jnp.stack(
+                [t.max(-1) for t in _split_scores(cls)], -1).mean(-1)
             gated = jnp.where(score >= args.conf_thres, score, 0.0)
-            if s == "approx":
-                return jax.lax.approx_max_k(gated, args.pre_nms_topk)
-            return jax.lax.top_k(gated, args.pre_nms_topk)
+            if s == "approx" and k < A:
+                return jax.lax.approx_max_k(gated, k)
+            return jax.lax.top_k(gated, k)
         res[f"candidate_only_{sel}_ms"] = round(bench(jax.jit(cand)), 3)
 
     print(json.dumps(res))

@@ -144,7 +144,8 @@ def main(args=None):
 
         int8_run = make_int8_infer_fn(
             model, variables, load_amax(args.calib_pt),
-            conf_thres=args.conf_thres, iou_thres=args.iou_thres)
+            conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            candidate_selector=args.nms_selector)
         run_fn = lambda _vars, images: int8_run(images)
 
     out = run_eval(

@@ -81,11 +81,14 @@ def main(argv=None):
               flush=True)
 
     # yaml computed independently of the loops so an already-complete
-    # generation still (re)writes it
-    data = {"train": osp.join(args.root, "images", "train"),
-            "val": osp.join(args.root, "images", "val"),
-            "test": osp.join(args.root, "images", "val"),
-            "is_coco": False, "npro": 31, "nalp": 24, "nads": 37}
+    # generation still (re)writes it; a zero-image generator call returns
+    # the authoritative data dict (paths + vocab sizes) without duplicating
+    # its schema here
+    data = make_synthetic_dataset(
+        args.root, n_train=0, n_val=0, img_size=args.img_size,
+        seed=args.seed, cjk_font_path=args.cjk_font,
+        ratio_min=args.ratio_min, ratio_max=args.ratio_max,
+        diversity=args.diversity)
     yaml_path = args.root.rstrip("/") + ".yaml"
     with open(yaml_path, "w") as f:
         for k, v in data.items():

@@ -85,7 +85,6 @@ def e2e_variants(args):
 
     from yololp_tpu.layers.fuse import fuse_variables_jit
     from yololp_tpu.models import Model, build_model
-    from yololp_tpu.quant.int8_infer import make_int8_infer_fn
     from yololp_tpu.utils.checkpoint import load_inference_variables
     from yololp_tpu.utils.config import Config
     import jax
@@ -114,27 +113,24 @@ def e2e_variants(args):
     out = {"bf16_ms": round(_bench(bf16_fn, x, iters=args.iters) * 1e3, 2)}
 
     if args.calib_pt:
-        amax = {k: float(v)
-                for k, v in json.load(open(args.calib_pt)).items()}
-        for name, chain in (("int8_perconv", False), ("int8_chained", True)):
-            fn = make_int8_infer_fn(model, variables, amax,
-                                    conf_thres=args.conf_thres,
-                                    iou_thres=args.iou_thres)
-            if not chain:
-                # rebuild with chaining off
-                from yololp_tpu.quant.int8_infer import (int8_apply,
-                                                         quantize_kernels_int8)
-                table = quantize_kernels_int8(variables["params"])
+        from yololp_tpu.quant.int8_infer import (int8_apply,
+                                                 quantize_kernels_int8)
+        from yololp_tpu.quant.quantize import load_amax
 
-                @jax.jit
-                def fn(images_u8, _table=table):
-                    xx = (images_u8.astype(model.dtype)
-                          / jnp.asarray(255.0, model.dtype))
-                    pred = int8_apply(model, variables, xx, amax, _table,
-                                      chain_repblocks=False, train=False)
-                    return non_max_suppression(pred.astype(jnp.float32),
-                                               conf_thres=args.conf_thres,
-                                               iou_thres=args.iou_thres)
+        amax = load_amax(args.calib_pt)
+        table = quantize_kernels_int8(variables["params"])
+        for name, chain in (("int8_perconv", False), ("int8_chained", True)):
+
+            @jax.jit
+            def fn(images_u8, _chain=chain):
+                xx = (images_u8.astype(model.dtype)
+                      / jnp.asarray(255.0, model.dtype))
+                pred = int8_apply(model, variables, xx, amax, table,
+                                  chain_repblocks=_chain, train=False)
+                return non_max_suppression(pred.astype(jnp.float32),
+                                           conf_thres=args.conf_thres,
+                                           iou_thres=args.iou_thres)
+
             out[f"{name}_ms"] = round(_bench(fn, x, iters=args.iters) * 1e3, 2)
         out["int8_vs_bf16"] = round(out["bf16_ms"] / out["int8_chained_ms"], 3)
     return out

@@ -101,7 +101,8 @@ class Evaler:
 
             run, put = make_sharded_infer_fn(
                 model, variables, mesh, conf_thres=self.conf_thres,
-                iou_thres=self.iou_thres, max_det=self.max_det)
+                iou_thres=self.iou_thres, max_det=self.max_det,
+                candidate_selector=self.nms_selector)
             self._put = put
             return run
 

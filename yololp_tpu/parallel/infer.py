@@ -28,7 +28,7 @@ from yololp_tpu.ops.nms import non_max_suppression
 def make_sharded_infer_fn(model, variables, mesh: Mesh,
                           conf_thres: float = 0.03, iou_thres: float = 0.65,
                           max_det: int = 300, pre_nms_topk: int = 512,
-                          dtype=None):
+                          dtype=None, candidate_selector: str = "topk"):
     """Build run(images_u8) sharding the batch over mesh axis 'data'.
 
     `variables` are replicated across the mesh once, here. The returned
@@ -52,7 +52,8 @@ def make_sharded_infer_fn(model, variables, mesh: Mesh,
         return non_max_suppression(pred.astype(jnp.float32),
                                    conf_thres=conf_thres,
                                    iou_thres=iou_thres, max_det=max_det,
-                                   pre_nms_topk=pre_nms_topk)
+                                   pre_nms_topk=pre_nms_topk,
+                                   candidate_selector=candidate_selector)
 
     def put(batch_u8):
         return jax.device_put(batch_u8, data_sh)

@@ -147,7 +147,8 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
 def make_int8_infer_fn(model, variables, amax_by_path: Dict[str, float],
                        skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
                        with_nms: bool = True, conf_thres: float = 0.4,
-                       iou_thres: float = 0.45, max_det: int = 300):
+                       iou_thres: float = 0.45, max_det: int = 300,
+                       candidate_selector: str = "topk"):
     """Jitted uint8-batch -> detections pipeline running calibrated convs in
     int8 (drop-in for the bf16 deploy path)."""
     from yololp_tpu.ops.nms import non_max_suppression
@@ -163,6 +164,7 @@ def make_int8_infer_fn(model, variables, amax_by_path: Dict[str, float],
             return pred
         return non_max_suppression(pred.astype(jnp.float32),
                                    conf_thres=conf_thres, iou_thres=iou_thres,
-                                   max_det=max_det)
+                                   max_det=max_det,
+                                   candidate_selector=candidate_selector)
 
     return run
