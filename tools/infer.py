@@ -31,6 +31,8 @@ def get_args_parser():
     parser.add_argument("--conf-thres", type=float, default=0.4)
     parser.add_argument("--iou-thres", type=float, default=0.45)
     parser.add_argument("--max-det", type=int, default=1000)
+    parser.add_argument("--nms-selector", default="topk",
+                        choices=["topk", "approx"])
     parser.add_argument("--device", default="tpu", help="tpu or cpu")
     parser.add_argument("--save-txt", action="store_true", default=True)
     parser.add_argument("--not-save-img", action="store_true")
@@ -61,7 +63,7 @@ def main(args=None):
     inferer = Inferer(args.source, args.weights, args.conf_file,
                       img_size=img_size, half=args.half,
                       conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-                      max_det=args.max_det)
+                      max_det=args.max_det, nms_selector=args.nms_selector)
     if args.int8:
         assert args.calib_pt, "--int8 requires --calib-pt"
         from yololp_tpu.quant.int8_infer import make_int8_infer_fn

@@ -45,7 +45,8 @@ class Inferer:
     def __init__(self, source: str, weights: Optional[str], config,
                  img_size=640, half: bool = True, conf_thres: float = 0.4,
                  iou_thres: float = 0.45, max_det: int = 300,
-                 npro: int = V.NPRO, nalp: int = V.NALP, nads: int = V.NADS):
+                 npro: int = V.NPRO, nalp: int = V.NALP, nads: int = V.NADS,
+                 nms_selector: str = "topk"):
         if isinstance(config, str):
             config = (Config.fromfile(config) if config.endswith(".py")
                       else Config.named(config))
@@ -74,7 +75,8 @@ class Inferer:
             pred = model.apply(self.variables, x, train=False)
             return non_max_suppression(pred, conf_thres=self.conf_thres,
                                        iou_thres=self.iou_thres,
-                                       max_det=self.max_det)
+                                       max_det=self.max_det,
+                                       candidate_selector=nms_selector)
 
         self._run = _run
         self.source = source
