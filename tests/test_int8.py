@@ -110,3 +110,35 @@ def test_int8_chained_repblocks_match_per_conv():
     berr = np.abs(np.asarray(y_chain[..., :4])
                   - np.asarray(y_per[..., :4])).max()
     assert berr < 2.0, berr
+
+
+def test_int8_stage_handoffs_match_non_handoff():
+    """Backbone stage-boundary handoffs (producer conv requantizes its
+    int32 accumulator straight to the consumer's calibrated int8 scale)
+    must agree with the non-handoff path, and must actually engage on the
+    EfficientRep spine (stem + 4 downsamples)."""
+    from yololp_tpu.quant.int8_infer import backbone_handoffs
+
+    cfg = Config.named("yololpn")
+    _, tv = build_model(cfg, img_size=(64, 64))
+    variables = fuse_variables(tv)
+    model = Model(config=cfg, deploy=True)
+    batch = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    amax = calibrate(model, variables, [batch], method="max")
+    table = quantize_kernels_int8(variables["params"])
+
+    hand = backbone_handoffs(amax, table)
+    assert len(hand) >= 5, sorted(hand)   # stem + ERBlock_2..5 downs
+    for prod, cons in hand.items():
+        assert prod in amax and cons in amax
+
+    x = jnp.asarray(batch).astype(jnp.float32) / 255.0
+    y_h = int8_apply(model, variables, x, amax, table, train=False,
+                     stage_handoffs=True)
+    y_n = int8_apply(model, variables, x, amax, table, train=False,
+                     stage_handoffs=False)
+    # same math up to inter-stage rounding (f32 requant vs bf16 round-trip)
+    err = np.abs(np.asarray(y_h[..., 13:]) - np.asarray(y_n[..., 13:])).max()
+    assert err < 0.05, err
+    berr = np.abs(np.asarray(y_h[..., :4]) - np.asarray(y_n[..., :4])).max()
+    assert berr < 2.0, berr

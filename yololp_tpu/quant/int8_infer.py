@@ -57,7 +57,38 @@ def quantize_kernels_int8(params: Dict,
     return table
 
 
-def _chain_repblock(x, sub_paths, amax_by_path, weight_table):
+def backbone_handoffs(amax_by_path: Dict[str, float],
+                      weight_table: Dict[str, Tuple],
+                      skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS
+                      ) -> Dict[str, str]:
+    """{producer_conv_path: consumer_conv_path} for stage boundaries whose
+    producer output has exactly ONE consumer (models/efficientrep.py
+    EfficientRep: stem -> ERBlock_2_down, and {stage}_down -> {stage}_rep's
+    first conv). At these seams the producer conv can requantize its int32
+    accumulator straight to the consumer's calibrated int8 input scale
+    (relu folds into the clip's lower bound), skipping the bf16 round-trip
+    on the largest activation tensors in the network. Only emitted when
+    both ends are calibrated and unskipped, so an int8 tensor can never
+    reach an un-intercepted conv."""
+    pairs = [("stem/conv", "ERBlock_2_down/conv")]
+    for s in ("ERBlock_2", "ERBlock_3", "ERBlock_4", "ERBlock_5",
+              "ERBlock_6"):
+        pairs.append((f"{s}_down/conv", f"{s}_rep/conv1/conv"))
+    out: Dict[str, str] = {}
+    for prod_sfx, cons_sfx in pairs:
+        prods = [p for p in amax_by_path if p.endswith(prod_sfx)]
+        for prod in prods:
+            cons = prod[: -len(prod_sfx)] + cons_sfx
+            ok = all(p in amax_by_path and p in weight_table
+                     and not _skip(p, skip_substrings)
+                     for p in (prod, cons))
+            if ok:
+                out[prod] = cons
+    return out
+
+
+def _chain_repblock(x, sub_paths, amax_by_path, weight_table,
+                    out_dtype=None):
     """Run a deploy-mode RepBlock (a strictly sequential chain of biased
     3x3-conv + ReLU links, layers/blocks.py RepBlock) entirely in int8:
     quantize once at chain entry, then each internal link goes
@@ -74,10 +105,19 @@ def _chain_repblock(x, sub_paths, amax_by_path, weight_table):
     ReLU commutes into the requant exactly: with positive scales,
     relu(a*y+b)/s == max((a/s)*y + b/s, 0), so each link's epilogue is one
     fused FMA+max+round+clip on the int32 accumulator (XLA fuses it into
-    the conv output, int8 in / int8 out)."""
+    the conv output, int8 in / int8 out).
+
+    An int8 input is accepted as ALREADY quantized at this chain's entry
+    scale (the stage-handoff path: the producing downsample conv requanted
+    straight to our first conv's calibrated amax); out_dtype then supplies
+    the exit dtype an int8 input cannot."""
     scales = [jnp.float32(amax_by_path[p]) / 127.0 for p in sub_paths]
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scales[0]),
-                 -128, 127).astype(jnp.int8)
+    if x.dtype == jnp.int8:
+        q = x
+    else:
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scales[0]),
+                     -128, 127).astype(jnp.int8)
+    out_dtype = out_dtype if out_dtype is not None else x.dtype
     for i, p in enumerate(sub_paths):
         w_q, w_scale, bias = weight_table[p]
         y32 = jax.lax.conv_general_dilated(
@@ -93,18 +133,30 @@ def _chain_repblock(x, sub_paths, amax_by_path, weight_table):
                          0, 127).astype(jnp.int8)
         else:
             yf = y32.astype(jnp.float32) * (scales[i] * w_scale) + bias
-            return jnp.maximum(yf, 0.0).astype(x.dtype)
+            return jnp.maximum(yf, 0.0).astype(out_dtype)
 
 
 def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
                weight_table: Dict[str, Tuple],
                skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
-               chain_repblocks: bool = True, **apply_kwargs):
+               chain_repblocks: bool = True, stage_handoffs: bool = True,
+               **apply_kwargs):
     """Forward pass executing calibrated convs in int8. With
     chain_repblocks (default), deploy-mode RepVGG RepBlock stages run as
     fused int8->int8 chains (_chain_repblock) instead of per-conv
-    quantize/dequant round-trips."""
+    quantize/dequant round-trips. With stage_handoffs (default), backbone
+    stage-boundary convs (backbone_handoffs) additionally requantize their
+    int32 accumulator straight to the next conv's calibrated int8 scale,
+    so the whole backbone spine runs int8-in/int8-out; the consumer
+    detects the int8 input and skips its own quantize. The subsequent
+    nn.relu in RepVGGBlock is an identity on the handed-off codes (the
+    requant clip's lower bound is 0)."""
     from yololp_tpu.layers.blocks import RepBlock, RepVGGBlock
+
+    model_dtype = getattr(model, "dtype", x.dtype)
+    handoffs = (backbone_handoffs(amax_by_path, weight_table,
+                                  skip_substrings)
+                if stage_handoffs else {})
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
@@ -117,7 +169,7 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
             if all(p in amax_by_path and p in weight_table
                    and not _skip(p, skip_substrings) for p in sub):
                 return _chain_repblock(args[0], sub, amax_by_path,
-                                       weight_table)
+                                       weight_table, out_dtype=model_dtype)
         if (isinstance(m, nn.Conv) and context.method_name == "__call__"):
             path = _module_path(context)
             if (path in amax_by_path and path in weight_table
@@ -125,9 +177,13 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
                 a = args[0]
                 w_q, w_scale, bias = weight_table[path]
                 x_scale = jnp.asarray(amax_by_path[path], jnp.float32) / 127.0
-                a_q = jnp.clip(
-                    jnp.round(a.astype(jnp.float32) / x_scale),
-                    -128, 127).astype(jnp.int8)
+                if a.dtype == jnp.int8:
+                    # handed off: already quantized at OUR calibrated scale
+                    a_q = a
+                else:
+                    a_q = jnp.clip(
+                        jnp.round(a.astype(jnp.float32) / x_scale),
+                        -128, 127).astype(jnp.int8)
                 strides = m.strides if isinstance(m.strides, tuple) else (1, 1)
                 padding = m.padding
                 y = jax.lax.conv_general_dilated(
@@ -135,8 +191,20 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
                     feature_group_count=m.feature_group_count,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.int32)
+                cons = handoffs.get(path)
+                if cons is not None:
+                    s_next = jnp.asarray(amax_by_path[cons],
+                                         jnp.float32) / 127.0
+                    aa = x_scale * w_scale / s_next   # per-out-channel
+                    bb = bias / s_next
+                    # relu folds into the clip's lower bound; the module's
+                    # own nn.relu is then an identity on these codes
+                    return jnp.clip(jnp.round(y.astype(jnp.float32) * aa
+                                              + bb),
+                                    0, 127).astype(jnp.int8)
                 y = (y.astype(jnp.float32) * (x_scale * w_scale)
-                     + bias).astype(a.dtype)
+                     + bias).astype(model_dtype
+                                    if a.dtype == jnp.int8 else a.dtype)
                 return y
         return next_fun(*args, **kwargs)
 
