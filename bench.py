@@ -353,6 +353,62 @@ def bench_native_runner(artifact, batch=128, size=640, iters=20,
         else f"no native_bench line in: {out.stdout[-150:]}")
 
 
+def _ensure_native_artifacts(timeout_s=900):
+    """Re-export the /tmp StableHLO artifacts the native-runner bench
+    consumes if a sandbox reset wiped them (seen r4: /tmp cleared mid-round,
+    which would silently drop the deployment-path metric from the record).
+    Export runs host-side (CPU) in subprocesses, before any device claim.
+    Weights are fused init params — the runner measures throughput, not
+    accuracy — and the int8 calib is max-method on random batches, matching
+    bench_int8's own protocol."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    bf16, int8 = ("/tmp/yololps_bf16_640.stablehlo",
+                  "/tmp/yololps_int8_640.stablehlo")
+    calib = "/tmp/yololps_bench_calib.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        if not os.path.exists(bf16):
+            subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "export.py"),
+                 "--conf-file", "yololps", "--out", bf16,
+                 "--img-size", "640", "--batch-size", "128", "--end2end"],
+                check=True, timeout=timeout_s, env=env,
+                capture_output=True)
+        if not os.path.exists(int8):
+            if not os.path.exists(calib):
+                code = (
+                    "import os; os.environ['JAX_PLATFORMS']='cpu';"
+                    "import numpy as np, jax, jax.numpy as jnp;"
+                    "jax.config.update('jax_platforms','cpu');"
+                    "from yololp_tpu.models import Model, build_model;"
+                    "from yololp_tpu.utils.config import Config;"
+                    "from yololp_tpu.layers.fuse import fuse_variables_jit;"
+                    "from yololp_tpu.quant.quantize import calibrate, save_amax;"
+                    "cfg=Config.named('yololps');"
+                    "_,tv=build_model(cfg,img_size=(64,64),dtype=jnp.bfloat16);"
+                    "v=fuse_variables_jit(tv);"
+                    "m=Model(config=cfg,deploy=True,dtype=jnp.bfloat16);"
+                    "rng=np.random.default_rng(1);"
+                    "c=[rng.integers(0,255,(4,640,640,3),np.uint8) for _ in range(2)];"
+                    f"save_amax(calibrate(m,v,c,method='max'), '{calib}')")
+                subprocess.run([sys.executable, "-c", code], check=True,
+                               timeout=timeout_s, env=env, cwd=here,
+                               capture_output=True)
+            subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "export.py"),
+                 "--conf-file", "yololps", "--out", int8,
+                 "--img-size", "640", "--batch-size", "128", "--end2end",
+                 "--int8", "--calib-pt", calib],
+                check=True, timeout=timeout_s, env=env,
+                capture_output=True)
+    except Exception as e:  # noqa: BLE001 — best-effort; runner leg degrades
+        print(f"bench: artifact re-export failed: {e}", file=__import__(
+            "sys").stderr, flush=True)
+
+
 def main():
     # Run at elevated priority so stray niced background work (the ops
     # convention for long CPU jobs here) cannot starve the timing loops.
@@ -387,6 +443,7 @@ def main():
     # under client contention, which CLAUDE.md says invalidates timings).
     native = {}
     if os.environ.get("YOLOLP_BENCH_FAST") != "1":
+        _ensure_native_artifacts()
         for key, art in (("native_int8", "/tmp/yololps_int8_640.stablehlo"),
                          ("native_bf16", "/tmp/yololps_bf16_640.stablehlo")):
             try:

@@ -174,3 +174,43 @@ def test_cached_epoch_sharded_matches_unsharded(tmp_path):
                     jax.tree_util.tree_leaves(s_ref.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_multi_epoch_matches_sequential_epochs(tmp_path):
+    """K chunked epochs in one dispatch (make_cached_multi_epoch) == K
+    sequential make_cached_epoch dispatches: same final params, same
+    per-epoch loss-item sums."""
+    from yololp_tpu.data.device_cache import make_cached_multi_epoch
+
+    ds = _dataset(tmp_path, n=4)
+    cache = DeviceCachedData(ds, seed=0)
+    cfg = Config.named("yololpn")
+    model, variables = build_model(cfg, img_size=(IMG, IMG))
+    loss_cfg = LossConfig(img_size=(IMG, IMG), iou_type="siou")
+    solver = SolverConfig(lr0=0.02, epochs=4, steps_per_epoch=2)
+    step_fn = make_train_step(model, loss_cfg, solver, batch_size=2)
+
+    mats = np.stack([
+        cache.epoch_index_matrix(batch_size=2, epoch=e) for e in range(2)])
+
+    state = init_train_state(variables)
+    s_multi, items_multi = jax.jit(
+        make_cached_multi_epoch(step_fn, cache.img_shape))(
+        state, cache.images, cache.labels, cache.masks, jnp.asarray(mats))
+    assert items_multi.shape[0] == 2
+
+    state = init_train_state(variables)
+    epoch_j = jax.jit(make_cached_epoch(step_fn, cache.img_shape))
+    per_epoch = []
+    for e in range(2):
+        state, items = epoch_j(state, cache.images, cache.labels,
+                               cache.masks, jnp.asarray(mats[e]))
+        per_epoch.append(np.asarray(items))
+
+    np.testing.assert_allclose(np.asarray(items_multi), np.stack(per_epoch),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_multi.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    assert int(s_multi.step) == 4

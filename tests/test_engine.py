@@ -54,9 +54,10 @@ def stub_fns(trainer, aps):
         return (state._replace(step=state.step + 1), jnp.float32(0.0),
                 jnp.zeros(7))
 
-    trainer._build_train_fns = lambda loss_cfg: (fake_step, None)
+    trainer._build_train_fns = lambda loss_cfg: (fake_step, None, None)
     trainer._train_fns_cache = {}
     trainer.step_fn, trainer.epoch_fn = fake_step, None
+    trainer.multi_epoch_fn = None
 
     calls = []
 
@@ -169,3 +170,42 @@ def test_calibrate_preserves_source_epoch(tmp_path, tiny_data):
     assert load_checkpoint_raw(
         osp.join(tr3.save_dir, "weights",
                  "calib_ckpt.msgpack"))["epoch"] == -1
+
+
+def test_epochs_per_dispatch_matches_per_epoch(tmp_path, tiny_data):
+    """--epochs-per-dispatch chunking (engine.train cache path) must be a
+    pure dispatch-granularity change: same final params and same per-epoch
+    loss items as the per-epoch loop, with chunks breaking at eval epochs."""
+    import json
+
+    import jax
+
+    def run(sub, epd):
+        cfg = Config.named("yololpn")
+        cfg["data_aug"] = {k: 0.0 for k in cfg["data_aug"]}
+        args = make_args(tmp_path / sub, cache_device=True, assigner="atss",
+                         epochs=5, eval_interval=3, heavy_eval_range=0,
+                         epochs_per_dispatch=epd)
+        tr = Trainer(args, cfg, dict(tiny_data))
+        evals = []
+        tr.eval_model = lambda: (evals.append(True) or
+                                 ([0.0] * 5, {"pre_ms": 0.0, "infer_ms": 0.0,
+                                              "post_ms": 0.0}))
+        tr.train()
+        log = [json.loads(l) for l in open(tr.log_path)]
+        return tr, log, len(evals)
+
+    tr1, log1, ev1 = run("epd1", 1)
+    tr4, log4, ev4 = run("epd4", 4)
+
+    assert ev1 == ev4 and len(log1) == len(log4) == 5
+    for r1, r4 in zip(log1, log4):
+        assert r1["epoch"] == r4["epoch"] and r1["step"] == r4["step"]
+        for k in r1:
+            if k.startswith("train/"):
+                np.testing.assert_allclose(r1[k], r4[k], rtol=1e-5,
+                                           atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.state.params),
+                    jax.tree_util.tree_leaves(tr4.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

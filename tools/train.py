@@ -54,6 +54,12 @@ def get_args_parser():
     p.add_argument("--cache-device", action="store_true",
                    help="stage the whole dataset in device HBM and gather "
                         "batches on-device (no-augmentation runs only)")
+    p.add_argument("--epochs-per-dispatch", type=int, default=1,
+                   help="with --cache-device: scan up to K consecutive "
+                        "epochs in ONE XLA dispatch (chunks break at eval/"
+                        "ckpt epochs and assigner-schedule switches); "
+                        "amortizes the per-epoch host turnaround, which "
+                        "dominates wall time over a remote-TPU tunnel")
     p.add_argument("--synthetic-data", action="store_true",
                    help="generate a small synthetic dataset (smoke/demo)")
     p.add_argument("--synthetic-n", type=int, default=64)

@@ -236,15 +236,19 @@ class Trainer:
                 distill_cfg=dict(
                     cfg["model"]["head"].get("distill_weight") or {}))
             if self.cache is not None:
-                from yololp_tpu.data.device_cache import make_cached_epoch
+                from yololp_tpu.data.device_cache import (make_cached_epoch,
+                                                          make_cached_multi_epoch)
 
                 # whole-epoch scan program. NOT donating the state: at
                 # epoch 0 params/ema_params alias the same buffers
                 # (init_train_state, resume) and XLA rejects donating one
                 # buffer twice.
                 batch_sh = self._data_sh if self.mesh is not None else None
-                return None, jax.jit(make_cached_epoch(
-                    step_fn, self.cache.img_shape, batch_sh))
+                return (None,
+                        jax.jit(make_cached_epoch(
+                            step_fn, self.cache.img_shape, batch_sh)),
+                        jax.jit(make_cached_multi_epoch(
+                            step_fn, self.cache.img_shape, batch_sh)))
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -253,13 +257,14 @@ class Trainer:
                     step_fn,
                     in_shardings=(repl, self._data_sh, self._data_sh,
                                   self._data_sh),
-                    out_shardings=(repl, repl, repl)), None
+                    out_shardings=(repl, repl, repl)), None, None
             assert self.n_procs == 1, "multi-host training requires a mesh"
-            return jax.jit(step_fn), None
+            return jax.jit(step_fn), None, None
 
         self._build_train_fns = _build_fns
         self._train_fns_cache = {}
-        self.step_fn, self.epoch_fn = self._fns_for_epoch(0)
+        self.step_fn, self.epoch_fn, self.multi_epoch_fn = \
+            self._fns_for_epoch(0)
 
         self.best_ap = -1.0
         self.best_stop_aug_ap = -1.0
@@ -454,13 +459,7 @@ class Trainer:
         returns (mean loss items, steps run)."""
         c = self.cache
         idx_mat = c.epoch_index_matrix(self.batch_size, epoch)
-        if epoch % 10 == 0 and self.is_main:
-            from yololp_tpu.utils.visualize import save_train_batch_vis
-
-            i0 = idx_mat[0]
-            save_train_batch_vis(
-                c.host_images[i0], c.host_labels[i0], c.host_masks[i0],
-                osp.join(self.save_dir, "vis", f"train_batch_e{epoch}.jpg"))
+        self._maybe_train_vis(epoch, idx_mat[0])
         if self.mesh is not None:
             # every process computed the identical matrix (pure fn of
             # seed+epoch), so a replicated global placement is well-defined;
@@ -478,6 +477,40 @@ class Trainer:
             self.state, c.images, c.labels, c.masks, idx_dev)
         return np.asarray(items_sum) / max(len(idx_mat), 1), len(idx_mat)
 
+    def _maybe_train_vis(self, epoch: int, idx_row):
+        if epoch % 10 == 0 and self.is_main:
+            from yololp_tpu.utils.visualize import save_train_batch_vis
+
+            c = self.cache
+            save_train_batch_vis(
+                c.host_images[idx_row], c.host_labels[idx_row],
+                c.host_masks[idx_row],
+                osp.join(self.save_dir, "vis", f"train_batch_e{epoch}.jpg"))
+
+    def _run_cached_epochs(self, e0: int, k: int):
+        """K consecutive epochs as ONE scan dispatch
+        (make_cached_multi_epoch) — identical math to k sequential
+        _run_cached_epoch calls, paying the host turnaround once. Returns
+        [(mean loss items, steps)] per epoch."""
+        c = self.cache
+        mats = np.stack([c.epoch_index_matrix(self.batch_size, e)
+                         for e in range(e0, e0 + k)])
+        for i in range(k):
+            self._maybe_train_vis(e0 + i, mats[i][0])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from yololp_tpu.data.device_cache import put_replicated
+
+            idx_dev = put_replicated(NamedSharding(self.mesh, P()))(mats)
+        else:
+            idx_dev = jnp.asarray(mats)
+        self.state, items = self.multi_epoch_fn(
+            self.state, c.images, c.labels, c.masks, idx_dev)
+        items = np.asarray(items)
+        s = mats.shape[1]
+        return [(items[i] / max(s, 1), s) for i in range(k)]
+
     def train(self, resume_path: Optional[str] = None):
         start_epoch = self.resume(resume_path) if resume_path else 0
         if start_epoch >= self.epochs:
@@ -490,14 +523,66 @@ class Trainer:
             getattr(self.args, "stop_aug_last_n_epoch", 15))
         eval_interval = int(getattr(self.args, "eval_interval", 20))
         eval_final_n = int(getattr(self.args, "heavy_eval_range", 50))
+        epd = max(1, int(getattr(self.args, "epochs_per_dispatch", 1)))
+
+        def _evals_after(j):
+            return ((j % eval_interval == 0)
+                    or (j >= self.epochs - eval_final_n)
+                    or (j == self.epochs - 1))
+
+        def _saves_after(j):
+            n_last = int(getattr(self.args, "save_ckpt_on_last_n_epoch", 0)
+                         or 0)
+            return (getattr(self.args, "save_every_epoch", False)
+                    or (n_last and j >= self.epochs - n_last))
+
+        # epoch -> (mean_items, n_steps, wall_s, end_step) for epochs already
+        # executed inside a multi-epoch chunk dispatch
+        pending = {}
 
         for epoch in range(start_epoch, self.epochs):
             if epoch == stop_aug_epoch and self.train_loader is not None:
                 self.train_dataset.disable_heavy_aug()
-            self.step_fn, self.epoch_fn = self._fns_for_epoch(epoch)
+            self.step_fn, self.epoch_fn, self.multi_epoch_fn = \
+                self._fns_for_epoch(epoch)
             t0 = time.time()
+            epoch_wall = None
+            epoch_end_step = None
             if self.cache is not None:
-                mean_items, n_steps = self._run_cached_epoch(epoch)
+                if epoch in pending:
+                    (mean_items, n_steps, epoch_wall,
+                     epoch_end_step) = pending.pop(epoch)
+                elif epd > 1:
+                    # extend the chunk while no epoch inside it needs a
+                    # host-side action (eval, per-epoch ckpt) or a different
+                    # compiled fn (assigner schedule); the chunk's last
+                    # epoch MAY be an eval epoch — eval runs on the state
+                    # the chunk returns
+                    k = 1
+                    fns0 = self._fns_for_epoch(epoch)
+                    while (k < epd and epoch + k < self.epochs
+                           and not _evals_after(epoch + k - 1)
+                           and not _saves_after(epoch + k - 1)
+                           and self._fns_for_epoch(epoch + k) is fns0):
+                        k += 1
+                    if k == 1:
+                        # reuse the already-compiled single-epoch program
+                        mean_items, n_steps = self._run_cached_epoch(epoch)
+                    else:
+                        per = self._run_cached_epochs(epoch, k)
+                        wall = (time.time() - t0) / k
+                        # the state is only materialized at chunk end; the
+                        # per-epoch step counters are reconstructed from the
+                        # fixed steps/epoch so the log matches the
+                        # per-epoch-dispatch loop record-for-record
+                        end = int(self.state.step)
+                        for i, (mi, ns) in enumerate(per):
+                            pending[epoch + i] = (
+                                mi, ns, wall, end - ns * (k - 1 - i))
+                        (mean_items, n_steps, epoch_wall,
+                         epoch_end_step) = pending.pop(epoch)
+                else:
+                    mean_items, n_steps = self._run_cached_epoch(epoch)
             else:
                 items_sum = None  # accumulated ON DEVICE: a host read per
                 n_steps = 0       # step would sync the dispatch pipeline
@@ -519,8 +604,12 @@ class Trainer:
                     n_steps += 1
                 mean_items = (np.asarray(items_sum) if items_sum is not None
                               else np.zeros(7)) / max(n_steps, 1)
-            record = {"epoch": epoch, "step": int(self.state.step),
-                      "epoch_time_s": round(time.time() - t0, 1),
+            record = {"epoch": epoch,
+                      "step": (epoch_end_step if epoch_end_step is not None
+                               else int(self.state.step)),
+                      "epoch_time_s": round(
+                          epoch_wall if epoch_wall is not None
+                          else time.time() - t0, 1),
                       **{f"train/{k}": float(v)
                          for k, v in zip(LOSS_NAMES, mean_items)}}
 
