@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""int8 MXU-rate microbench + chained-vs-per-conv e2e comparison.
+"""int8 MXU-rate microbench + int8 fusion-variant e2e comparison.
 
 Answers the two questions VERDICT r3 #2 left open:
 
@@ -9,9 +9,16 @@ Answers the two questions VERDICT r3 #2 left open:
    prints achieved TFLOP/s for bf16 vs int8 (same geometry, conv-only,
    epilogue-free).
 2. Where does the remaining int8 e2e time go? Times the deploy forward
-   bf16 vs int8 per-conv (chain_repblocks=False) vs int8 chained, so the
-   chain fusion win (quant/int8_infer.py _chain_repblock) is measured
-   rather than assumed.
+   bf16 vs the int8 fusion grid — {per-conv, RepBlock-chained} x
+   {stage handoffs on/off} — so each fusion's win (or loss) is measured
+   rather than assumed (quant/int8_infer.py flags).
+
+Measurement protocol: every timing is K data-dependent iterations inside
+ONE jitted lax.scan whose carry feeds each iteration's input — the axon
+tunnel serves repeat dispatches of identical (program, buffers) pairs
+from a replay path, so back-to-back dispatch loops (this tool's previous
+protocol) report impossible rates (a bare conv at 9000 "TFLOP/s" on a
+197-peak chip). See CLAUDE.md "Micro-benchmarks on the tunnel".
 
 Role analogue: the reference quantifies its INT8 story with trtexec
 throughput tables (tools/qat/README.md:73-80); this is the probe that
@@ -31,23 +38,26 @@ if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
 
-def _bench(fn, *args, iters=20, warmup=2):
+def _timed_scan(make_fn, K, *op):
+    """Wall time of one K-iteration chained-scan program, per iteration,
+    compile excluded (second run timed)."""
     import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+
+    fn = jax.jit(make_fn)
+    jax.block_until_ready(fn(*op))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(fn(*op))
+    return (time.perf_counter() - t0) / K
 
 
 def conv_rates(batch, img, iters):
-    """Bare 3x3 conv at each backbone-stage geometry, bf16 vs int8."""
+    """Bare 3x3 conv at each backbone-stage geometry, bf16 vs int8.
+    The conv output feeds the next iteration's input (clipped/cast), so
+    no iteration can be replayed or elided."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     rows = []
     # (spatial/img divisor, channels): yololps stages at width 0.50
@@ -56,21 +66,38 @@ def conv_rates(batch, img, iters):
         flops = 2 * batch * s * s * c * c * 9  # MACs*2, 3x3 same-ch conv
 
         def conv(x, w, pet):
-            return jax.lax.conv_general_dilated(
+            return lax.conv_general_dilated(
                 x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=pet)
 
-        xb = jnp.asarray(np.random.randn(batch, s, s, c), jnp.bfloat16)
-        wb = jnp.asarray(np.random.randn(3, 3, c, c) * 0.05, jnp.bfloat16)
-        f_bf16 = jax.jit(lambda x, w: conv(x, w, jnp.float32))
-        t_bf16 = _bench(f_bf16, xb, wb, iters=iters)
+        xb = jnp.asarray(np.random.randn(batch, s, s, c) * 0.1, jnp.bfloat16)
+        wb = jnp.asarray(np.random.randn(3, 3, c, c) * 0.01, jnp.bfloat16)
+
+        def bf16_scan(x0, w):
+            def body(x, _):
+                y = conv(x, w, jnp.float32)
+                # renormalize so values stay finite across iterations
+                x2 = (y * jnp.asarray(1e-2, jnp.float32)).astype(jnp.bfloat16)
+                return x2, ()
+            xK, _ = lax.scan(body, x0, None, length=iters)
+            return xK
+
+        t_bf16 = _timed_scan(bf16_scan, iters, xb, wb)
 
         xi = jnp.asarray(np.random.randint(-127, 128, (batch, s, s, c)),
                          jnp.int8)
         wi = jnp.asarray(np.random.randint(-127, 128, (3, 3, c, c)), jnp.int8)
-        f_int8 = jax.jit(lambda x, w: conv(x, w, jnp.int32))
-        t_int8 = _bench(f_int8, xi, wi, iters=iters)
+
+        def int8_scan(x0, w):
+            def body(x, _):
+                y = conv(x, w, jnp.int32)
+                x2 = jnp.clip(y >> 12, -127, 127).astype(jnp.int8)
+                return x2, ()
+            xK, _ = lax.scan(body, x0, None, length=iters)
+            return xK
+
+        t_int8 = _timed_scan(int8_scan, iters, xi, wi)
 
         rows.append({"hw": s, "ch": c,
                      "bf16_tflops": round(flops / t_bf16 / 1e12, 2),
@@ -80,16 +107,17 @@ def conv_rates(batch, img, iters):
 
 
 def e2e_variants(args):
+    import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from yololp_tpu.layers.fuse import fuse_variables_jit
     from yololp_tpu.models import Model, build_model
     from yololp_tpu.utils.checkpoint import load_inference_variables
     from yololp_tpu.utils.config import Config
-    import jax
 
-    B, S = args.batch_size, args.img_size
+    B, S, K = args.batch_size, args.img_size, args.iters
     cfg = (Config.fromfile(args.conf_file) if args.conf_file.endswith(".py")
            else Config.named(args.conf_file))
     if args.weights:
@@ -102,15 +130,26 @@ def e2e_variants(args):
 
     from yololp_tpu.ops.nms import non_max_suppression
 
-    @jax.jit
-    def bf16_fn(images_u8):
+    def scan_over(per_image_fn):
+        """K chained iterations: carry perturbs the uint8 input."""
+        def prog(images_u8, c0):
+            def body(c, _):
+                _, _, num_valid = per_image_fn(images_u8 + c)
+                return c + 1, jnp.sum(num_valid)
+            _, vs = lax.scan(body, c0, None, length=K)
+            return vs
+        return prog
+
+    def bf16_fwd(images_u8):
         xx = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
         pred = model.apply(variables, xx, train=False)
         return non_max_suppression(pred.astype(jnp.float32),
                                    conf_thres=args.conf_thres,
                                    iou_thres=args.iou_thres)
 
-    out = {"bf16_ms": round(_bench(bf16_fn, x, iters=args.iters) * 1e3, 2)}
+    c0 = jnp.uint8(0)
+    out = {"bf16_ms":
+           round(_timed_scan(scan_over(bf16_fwd), K, x, c0) * 1e3, 2)}
 
     if args.calib_pt:
         from yololp_tpu.quant.int8_infer import (int8_apply,
@@ -119,20 +158,25 @@ def e2e_variants(args):
 
         amax = load_amax(args.calib_pt)
         table = quantize_kernels_int8(variables["params"])
-        for name, chain in (("int8_perconv", False), ("int8_chained", True)):
-
-            @jax.jit
-            def fn(images_u8, _chain=chain):
+        grid = (("int8_perconv", False, False),
+                ("int8_handoff", False, True),
+                ("int8_chained", True, False),
+                ("int8_chained_handoff", True, True))
+        for name, chain, handoff in grid:
+            def int8_fwd(images_u8, _c=chain, _h=handoff):
                 xx = (images_u8.astype(model.dtype)
                       / jnp.asarray(255.0, model.dtype))
                 pred = int8_apply(model, variables, xx, amax, table,
-                                  chain_repblocks=_chain, train=False)
+                                  chain_repblocks=_c, stage_handoffs=_h,
+                                  train=False)
                 return non_max_suppression(pred.astype(jnp.float32),
                                            conf_thres=args.conf_thres,
                                            iou_thres=args.iou_thres)
 
-            out[f"{name}_ms"] = round(_bench(fn, x, iters=args.iters) * 1e3, 2)
-        out["int8_vs_bf16"] = round(out["bf16_ms"] / out["int8_chained_ms"], 3)
+            out[f"{name}_ms"] = round(
+                _timed_scan(scan_over(int8_fwd), K, x, c0) * 1e3, 2)
+        best = min(v for k, v in out.items() if k.startswith("int8"))
+        out["int8_best_vs_bf16"] = round(out["bf16_ms"] / best, 3)
     return out
 
 
@@ -143,7 +187,7 @@ def main(argv=None):
     p.add_argument("--calib-pt", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--img-size", type=int, default=640)
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--iters", type=int, default=10)
     p.add_argument("--conf-thres", type=float, default=0.4)
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--skip-micro", action="store_true")
