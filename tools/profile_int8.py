@@ -20,6 +20,13 @@ from a replay path, so back-to-back dispatch loops (this tool's previous
 protocol) report impossible rates (a bare conv at 9000 "TFLOP/s" on a
 197-peak chip). See CLAUDE.md "Micro-benchmarks on the tunnel".
 
+The timed call additionally runs on FRESH device buffers with permuted
+content (_fresh_operands): the warm-up call and the timed call must not
+be an identical (program, buffers) pair, or the whole K-iteration scan
+is itself served from the replay path (observed 2026-08-18: the chained
+conv scan still reported 25,749 "TFLOP/s" when the timed call reused the
+warm-up call's exact operand buffers).
+
 Role analogue: the reference quantifies its INT8 story with trtexec
 throughput tables (tools/qat/README.md:73-80); this is the probe that
 tells us which knob to turn to match its 1.6-1.7x INT8/FP16 ratio.
@@ -38,15 +45,31 @@ if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
 
+def _fresh_operands(op):
+    """Rebuild operands as NEW device buffers with permuted (but
+    distribution-identical) content, so the timed dispatch cannot be an
+    identical (program, buffers) pair with the warm-up dispatch — the
+    tunnel serves those from a replay cache (module docstring)."""
+    import jax
+    import numpy as np
+
+    out = []
+    for a in op:
+        h = np.asarray(jax.device_get(a))
+        out.append(jax.device_put(np.roll(h, 1, axis=0) if h.ndim else h))
+    return tuple(out)
+
+
 def _timed_scan(make_fn, K, *op):
     """Wall time of one K-iteration chained-scan program, per iteration,
-    compile excluded (second run timed)."""
+    compile excluded (second run timed, on fresh operand buffers)."""
     import jax
 
     fn = jax.jit(make_fn)
     jax.block_until_ready(fn(*op))
+    op2 = _fresh_operands(op)
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*op))
+    jax.block_until_ready(fn(*op2))
     return (time.perf_counter() - t0) / K
 
 
