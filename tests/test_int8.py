@@ -142,3 +142,27 @@ def test_int8_stage_handoffs_match_non_handoff():
     assert err < 0.05, err
     berr = np.abs(np.asarray(y_h[..., :4]) - np.asarray(y_n[..., :4])).max()
     assert berr < 2.0, berr
+
+
+def test_int8_conv_as_dots_bit_exact():
+    """conv_impl="dots" (3x3/1x1 convs rerouted onto the matmul path,
+    int8_infer.conv3x3_as_dots) is an integer-sum reassociation of the
+    same quantized network: predictions must be BIT-identical to the
+    conv-path executor, per-conv and fused alike."""
+    cfg = Config.named("yololpn")
+    _, tv = build_model(cfg, img_size=(64, 64))
+    variables = fuse_variables(tv)
+    model = Model(config=cfg, deploy=True)
+    batch = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    amax = calibrate(model, variables, [batch], method="max")
+    table = quantize_kernels_int8(variables["params"])
+    x = jnp.asarray(batch).astype(jnp.float32) / 255.0
+
+    for chain, handoff in ((False, False), (True, True)):
+        y_conv = int8_apply(model, variables, x, amax, table, train=False,
+                            chain_repblocks=chain, stage_handoffs=handoff,
+                            conv_impl="conv")
+        y_dots = int8_apply(model, variables, x, amax, table, train=False,
+                            chain_repblocks=chain, stage_handoffs=handoff,
+                            conv_impl="dots")
+        np.testing.assert_array_equal(np.asarray(y_conv), np.asarray(y_dots))

@@ -38,39 +38,17 @@ import argparse
 import json
 import os.path as osp
 import sys
-import time
 
 ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
 if ROOT not in sys.path:
     sys.path.insert(0, ROOT)
 
 
-def _fresh_operands(op):
-    """Rebuild operands as NEW device buffers with permuted (but
-    distribution-identical) content, so the timed dispatch cannot be an
-    identical (program, buffers) pair with the warm-up dispatch — the
-    tunnel serves those from a replay cache (module docstring)."""
-    import jax
-    import numpy as np
-
-    out = []
-    for a in op:
-        h = np.asarray(jax.device_get(a))
-        out.append(jax.device_put(np.roll(h, 1, axis=0) if h.ndim else h))
-    return tuple(out)
-
-
 def _timed_scan(make_fn, K, *op):
-    """Wall time of one K-iteration chained-scan program, per iteration,
-    compile excluded (second run timed, on fresh operand buffers)."""
-    import jax
+    """Shared trusted protocol (yololp_tpu.utils.profiler.timed_scan)."""
+    from yololp_tpu.utils.profiler import timed_scan
 
-    fn = jax.jit(make_fn)
-    jax.block_until_ready(fn(*op))
-    op2 = _fresh_operands(op)
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(*op2))
-    return (time.perf_counter() - t0) / K
+    return timed_scan(make_fn, K, *op)
 
 
 def conv_rates(batch, img, iters):
@@ -181,17 +159,19 @@ def e2e_variants(args):
 
         amax = load_amax(args.calib_pt)
         table = quantize_kernels_int8(variables["params"])
-        grid = (("int8_perconv", False, False),
-                ("int8_handoff", False, True),
-                ("int8_chained", True, False),
-                ("int8_chained_handoff", True, True))
-        for name, chain, handoff in grid:
-            def int8_fwd(images_u8, _c=chain, _h=handoff):
+        grid = (("int8_perconv", False, False, "conv"),
+                ("int8_handoff", False, True, "conv"),
+                ("int8_chained", True, False, "conv"),
+                ("int8_chained_handoff", True, True, "conv"),
+                ("int8_chained_handoff_dots", True, True, "dots"),
+                ("int8_perconv_dots", False, False, "dots"))
+        for name, chain, handoff, impl in grid:
+            def int8_fwd(images_u8, _c=chain, _h=handoff, _i=impl):
                 xx = (images_u8.astype(model.dtype)
                       / jnp.asarray(255.0, model.dtype))
                 pred = int8_apply(model, variables, xx, amax, table,
                                   chain_repblocks=_c, stage_handoffs=_h,
-                                  train=False)
+                                  conv_impl=_i, train=False)
                 return non_max_suppression(pred.astype(jnp.float32),
                                            conf_thres=args.conf_thres,
                                            iou_thres=args.iou_thres)

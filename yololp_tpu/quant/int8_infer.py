@@ -87,8 +87,55 @@ def backbone_handoffs(amax_by_path: Dict[str, float],
     return out
 
 
+def conv3x3_as_dots(x, w_hwio):
+    """3x3 stride-1 same-padding conv(int8,int8)->int32 as 9 shifted
+    (N*H*W,C)@(C,O) dot_generals, int32-accumulated on the VPU.
+
+    Bit-exact with lax.conv_general_dilated (integer sums commute) but
+    lowered through XLA's MATMUL path instead of its conv path — the
+    tools/probe_mxu_int8.py question: on v5e, XLA's int8 conv lowering
+    may not reach the MXU's 2x int8 rate while its int8 matmul does."""
+    n, h, w, c = x.shape
+    w9 = w_hwio.reshape(9, c, w_hwio.shape[-1])
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + w, c))
+            y = jax.lax.dot_general(
+                tap.reshape(n * h * w, c), w9[dy * 3 + dx],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            acc = y if acc is None else acc + y
+    return acc.reshape(n, h, w, -1)
+
+
+def _int8_conv(a_q, w_q, strides, padding, groups=1, conv_impl="conv"):
+    """conv(int8,int8)->int32, through the requested lowering. conv_impl
+    "dots" reroutes the two shapes that dominate the deploy graph —
+    3x3/stride-1/pad-1 and 1x1/stride-1 — onto the matmul path; every
+    other geometry falls back to the conv path."""
+    if conv_impl == "dots" and groups == 1 and strides == (1, 1):
+        kh, kw = w_q.shape[:2]
+        same1 = padding in (((1, 1), (1, 1)), "SAME", [(1, 1), (1, 1)])
+        if (kh, kw) == (3, 3) and same1:
+            return conv3x3_as_dots(a_q, w_q)
+        valid = padding in (((0, 0), (0, 0)), "SAME", "VALID",
+                            [(0, 0), (0, 0)])
+        if (kh, kw) == (1, 1) and valid:
+            n, h, w, c = a_q.shape
+            y = jax.lax.dot_general(
+                a_q.reshape(n * h * w, c), w_q.reshape(c, -1),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            return y.reshape(n, h, w, -1)
+    return jax.lax.conv_general_dilated(
+        a_q, w_q, window_strides=strides, padding=padding,
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
 def _chain_repblock(x, sub_paths, amax_by_path, weight_table,
-                    out_dtype=None):
+                    out_dtype=None, conv_impl="conv"):
     """Run a deploy-mode RepBlock (a strictly sequential chain of biased
     3x3-conv + ReLU links, layers/blocks.py RepBlock) entirely in int8:
     quantize once at chain entry, then each internal link goes
@@ -120,10 +167,8 @@ def _chain_repblock(x, sub_paths, amax_by_path, weight_table,
     out_dtype = out_dtype if out_dtype is not None else x.dtype
     for i, p in enumerate(sub_paths):
         w_q, w_scale, bias = weight_table[p]
-        y32 = jax.lax.conv_general_dilated(
-            q, w_q, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
+        y32 = _int8_conv(q, w_q, (1, 1), ((1, 1), (1, 1)),
+                         conv_impl=conv_impl)
         if i + 1 < len(sub_paths):
             a = scales[i] * w_scale / scales[i + 1]   # per-out-channel
             b = bias / scales[i + 1]
@@ -140,7 +185,7 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
                weight_table: Dict[str, Tuple],
                skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
                chain_repblocks: bool = True, stage_handoffs: bool = True,
-               **apply_kwargs):
+               conv_impl: str = "conv", **apply_kwargs):
     """Forward pass executing calibrated convs in int8. With
     chain_repblocks (default), deploy-mode RepVGG RepBlock stages run as
     fused int8->int8 chains (_chain_repblock) instead of per-conv
@@ -169,7 +214,8 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
             if all(p in amax_by_path and p in weight_table
                    and not _skip(p, skip_substrings) for p in sub):
                 return _chain_repblock(args[0], sub, amax_by_path,
-                                       weight_table, out_dtype=model_dtype)
+                                       weight_table, out_dtype=model_dtype,
+                                       conv_impl=conv_impl)
         if (isinstance(m, nn.Conv) and context.method_name == "__call__"):
             path = _module_path(context)
             if (path in amax_by_path and path in weight_table
@@ -186,11 +232,9 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
                         -128, 127).astype(jnp.int8)
                 strides = m.strides if isinstance(m.strides, tuple) else (1, 1)
                 padding = m.padding
-                y = jax.lax.conv_general_dilated(
-                    a_q, w_q, window_strides=strides, padding=padding,
-                    feature_group_count=m.feature_group_count,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
+                y = _int8_conv(a_q, w_q, strides, padding,
+                               groups=m.feature_group_count,
+                               conv_impl=conv_impl)
                 cons = handoffs.get(path)
                 if cons is not None:
                     s_next = jnp.asarray(amax_by_path[cons],
@@ -216,7 +260,8 @@ def make_int8_infer_fn(model, variables, amax_by_path: Dict[str, float],
                        skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
                        with_nms: bool = True, conf_thres: float = 0.4,
                        iou_thres: float = 0.45, max_det: int = 300,
-                       candidate_selector: str = "topk"):
+                       candidate_selector: str = "topk",
+                       conv_impl: str = "conv"):
     """Jitted uint8-batch -> detections pipeline running calibrated convs in
     int8 (drop-in for the bf16 deploy path)."""
     from yololp_tpu.ops.nms import non_max_suppression
@@ -227,7 +272,7 @@ def make_int8_infer_fn(model, variables, amax_by_path: Dict[str, float],
     def run(images_u8):
         x = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
         pred = int8_apply(model, variables, x, amax_by_path, table,
-                          skip_substrings, train=False)
+                          skip_substrings, conv_impl=conv_impl, train=False)
         if not with_nms:
             return pred
         return non_max_suppression(pred.astype(jnp.float32),

@@ -44,3 +44,45 @@ def model_flops(fn, *example_args) -> dict:
     except Exception:  # noqa: BLE001 - backend-dependent API
         pass
     return out
+
+
+# ---- trusted wall-clock timing over the axon tunnel -------------------------
+#
+# The tunnel serves repeat dispatches of identical (program, buffers) pairs
+# from a replay path, and back-to-back async dispatch loops contend in its
+# queue — both report impossible rates (a 165 ms train step "measured" at
+# 21.9 ms; a bare conv at 25,749 "TFLOP/s" on a 197-peak chip). The only
+# protocol that has matched end-to-end wall time on this setup:
+#
+#   * K data-dependent iterations inside ONE jitted program (a lax.scan whose
+#     carry feeds each iteration's input), so no iteration can be elided or
+#     replayed individually; and
+#   * the timed dispatch runs on FRESH device buffers with permuted content,
+#     so (program, buffers) differs from the warm-up dispatch.
+#
+# See CLAUDE.md "Micro-benchmarks on the tunnel" and tools/profile_train.py.
+
+
+def fresh_operands(op):
+    """Rebuild operands as NEW device buffers with permuted (but
+    distribution-identical) content — defeats the tunnel replay cache."""
+    import numpy as np
+
+    out = []
+    for a in op:
+        h = np.asarray(jax.device_get(a))
+        out.append(jax.device_put(np.roll(h, 1, axis=0) if h.ndim else h))
+    return tuple(out)
+
+
+def timed_scan(make_fn, iters, *op):
+    """Per-iteration wall time of one jitted K-iteration chained-scan
+    program; compile excluded (second dispatch timed, on fresh buffers)."""
+    import time
+
+    fn = jax.jit(make_fn)
+    jax.block_until_ready(fn(*op))
+    op2 = fresh_operands(op)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*op2))
+    return (time.perf_counter() - t0) / iters
