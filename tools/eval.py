@@ -51,6 +51,9 @@ def get_args_parser():
                    help="execute calibrated convs in int8 (needs --calib-pt)")
     p.add_argument("--calib-pt", type=str, default=None,
                    help="calibration amax json (from train.py --quant --calib)")
+    p.add_argument("--conv-impl", default="conv", choices=["conv", "dots"],
+                   help="int8 conv lowering: XLA conv path, or 3x3/1x1 "
+                        "convs rerouted onto the matmul path (dots)")
     p.add_argument("--save-json", action="store_true",
                    help="also emit COCO-format prediction/annotation jsons "
                         "(+ COCOeval when pycocotools is installed)")
@@ -145,7 +148,7 @@ def main(args=None):
         int8_run = make_int8_infer_fn(
             model, variables, load_amax(args.calib_pt),
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            candidate_selector=args.nms_selector)
+            candidate_selector=args.nms_selector, conv_impl=args.conv_impl)
         run_fn = lambda _vars, images: int8_run(images)
 
     out = run_eval(

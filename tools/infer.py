@@ -44,6 +44,9 @@ def get_args_parser():
                         help=">1 enables the batched throughput path")
     parser.add_argument("--int8", action="store_true",
                         help="execute calibrated convs in int8")
+    parser.add_argument("--conv-impl", default="conv",
+                        choices=["conv", "dots"],
+                        help="int8 conv lowering (see eval.py)")
     parser.add_argument("--calib-pt", type=str, default=None,
                         help="calibration amax json (required with --int8)")
     return parser
@@ -72,7 +75,7 @@ def main(args=None):
         inferer._run = make_int8_infer_fn(
             inferer.model, inferer.variables, load_amax(args.calib_pt),
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            max_det=args.max_det)
+            max_det=args.max_det, conv_impl=args.conv_impl)
     save_dir = osp.join(args.project, args.name)
     if args.batch_size > 1:
         results = inferer.infer_batched(save_dir, batch_size=args.batch_size,
