@@ -34,7 +34,6 @@ import argparse
 import json
 import os.path as osp
 import sys
-import time
 
 import numpy as np
 
@@ -102,15 +101,11 @@ def main(argv=None):
                             for a in _fake_batch(rng, B, S))
 
     def timed(make_scan_fn, *op):
-        """Compile a K-iteration scan program, measure its wall time minus
-        the dispatch overhead of an equivalent empty scan, divide by K."""
-        fn = jax.jit(make_scan_fn)
-        out = jax.block_until_ready(fn(*op))   # compile + warm
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*op))
-        total = time.perf_counter() - t0
-        del out
-        return total / K
+        """Shared trusted protocol (utils/profiler.timed_scan): K chained
+        iterations in one program, timed dispatch on fresh buffers."""
+        from yololp_tpu.utils.profiler import timed_scan
+
+        return timed_scan(make_scan_fn, K, *op)
 
     # dispatch overhead baseline: an empty chained scan on the same carry
     def empty_scan(x):

@@ -64,15 +64,16 @@ def model_flops(fn, *example_args) -> dict:
 
 
 def fresh_operands(op):
-    """Rebuild operands as NEW device buffers with permuted (but
-    distribution-identical) content — defeats the tunnel replay cache."""
+    """Rebuild operands (arrays or pytrees of arrays) as NEW device buffers
+    with permuted (but distribution-identical) content — defeats the tunnel
+    replay cache."""
     import numpy as np
 
-    out = []
-    for a in op:
-        h = np.asarray(jax.device_get(a))
-        out.append(jax.device_put(np.roll(h, 1, axis=0) if h.ndim else h))
-    return tuple(out)
+    def one(a):
+        h = np.asarray(a)
+        return jax.device_put(np.roll(h, 1, axis=0) if h.ndim else h)
+
+    return tuple(jax.tree.map(one, jax.device_get(x)) for x in op)
 
 
 def timed_scan(make_fn, iters, *op):
