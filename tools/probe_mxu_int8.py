@@ -87,13 +87,19 @@ def _chain_i(y):
 
 def matmul_case(M, K, iters, use_pallas, bm):
     """Square-K chained matmul: x_{t+1} = g(x_t @ w). Returns (bf16_s, int8_s)
-    per-iteration seconds."""
-    from yololp_tpu.utils.profiler import timed_scan
+    per-iteration seconds, tunnel round-trip cancelled (timed_scan_delta:
+    a 20-iteration matmul program is ~1 ms of device work inside a ~50 ms
+    dispatch, so single-program timing is pure latency)."""
+    from yololp_tpu.utils.profiler import timed_scan_delta
 
-    def run(x0, w, mm, chain):
-        def body(x, _):
-            return chain(mm(x, w)), ()
-        return lax.scan(body, x0, None, length=iters)[0]
+    def make_run(mm, chain):
+        def of_k(k):
+            def run(x0, w):
+                def body(x, _):
+                    return chain(mm(x, w)), ()
+                return lax.scan(body, x0, None, length=k)[0]
+            return run
+        return of_k
 
     if use_pallas:
         mm_f = lambda x, w: pallas_matmul(x, w, jnp.float32, bm)  # noqa: E731
@@ -108,11 +114,11 @@ def matmul_case(M, K, iters, use_pallas, bm):
 
     xb = jnp.asarray(np.random.randn(M, K) * 0.1, jnp.bfloat16)
     wb = jnp.asarray(np.random.randn(K, K) * 0.05, jnp.bfloat16)
-    t_f = timed_scan(lambda x, w: run(x, w, mm_f, _chain_f), iters, xb, wb)
+    t_f = timed_scan_delta(make_run(mm_f, _chain_f), iters, xb, wb)
 
     xi = jnp.asarray(np.random.randint(-127, 128, (M, K)), jnp.int8)
     wi = jnp.asarray(np.random.randint(-127, 128, (K, K)), jnp.int8)
-    t_i = timed_scan(lambda x, w: run(x, w, mm_i, _chain_i), iters, xi, wi)
+    t_i = timed_scan_delta(make_run(mm_i, _chain_i), iters, xi, wi)
     return t_f, t_i
 
 
@@ -137,8 +143,9 @@ def conv9dots(x, w9):
 
 def conv_case(B, S, C, iters):
     """3x3 same-ch conv at one model geometry: XLA conv bf16/int8 +
-    9-dots int8. Returns dict of per-iter seconds."""
-    from yololp_tpu.utils.profiler import timed_scan
+    9-dots int8. Returns dict of per-iter seconds (round-trip
+    cancelled — see matmul_case)."""
+    from yololp_tpu.utils.profiler import timed_scan_delta
 
     def conv(x, w, pet):
         return lax.conv_general_dilated(
@@ -146,34 +153,31 @@ def conv_case(B, S, C, iters):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=pet)
 
+    def make_scan(step):
+        def of_k(k):
+            def run(x0, w):
+                def body(x, _):
+                    return step(x, w), ()
+                return lax.scan(body, x0, None, length=k)[0]
+            return run
+        return of_k
+
     xb = jnp.asarray(np.random.randn(B, S, S, C) * 0.1, jnp.bfloat16)
     wb = jnp.asarray(np.random.randn(3, 3, C, C) * 0.01, jnp.bfloat16)
-
-    def scan_conv_f(x0, w):
-        def body(x, _):
-            return _chain_f(conv(x, w, jnp.float32)), ()
-        return lax.scan(body, x0, None, length=iters)[0]
-
     xi = jnp.asarray(np.random.randint(-127, 128, (B, S, S, C)), jnp.int8)
     wi = jnp.asarray(np.random.randint(-127, 128, (3, 3, C, C)), jnp.int8)
-
-    def scan_conv_i(x0, w):
-        def body(x, _):
-            return _chain_i(conv(x, w, jnp.int32)), ()
-        return lax.scan(body, x0, None, length=iters)[0]
-
-    w9 = jnp.asarray(
-        np.random.randint(-127, 128, (9, C, C)), jnp.int8)
-
-    def scan_9dots(x0, w):
-        def body(x, _):
-            return _chain_i(conv9dots(x, w)), ()
-        return lax.scan(body, x0, None, length=iters)[0]
+    w9 = jnp.asarray(np.random.randint(-127, 128, (9, C, C)), jnp.int8)
 
     return {
-        "conv_xla_bf16_s": timed_scan(scan_conv_f, iters, xb, wb),
-        "conv_xla_int8_s": timed_scan(scan_conv_i, iters, xi, wi),
-        "conv_9dots_int8_s": timed_scan(scan_9dots, iters, xi, w9),
+        "conv_xla_bf16_s": timed_scan_delta(
+            make_scan(lambda x, w: _chain_f(conv(x, w, jnp.float32))),
+            iters, xb, wb),
+        "conv_xla_int8_s": timed_scan_delta(
+            make_scan(lambda x, w: _chain_i(conv(x, w, jnp.int32))),
+            iters, xi, wi),
+        "conv_9dots_int8_s": timed_scan_delta(
+            make_scan(lambda x, w: _chain_i(conv9dots(x, w))),
+            iters, xi, w9),
     }
 
 

@@ -53,12 +53,17 @@ def _timed_scan(make_fn, K, *op):
 
 def conv_rates(batch, img, iters):
     """Bare 3x3 conv at each backbone-stage geometry, bf16 vs int8.
-    The conv output feeds the next iteration's input (clipped/cast), so
-    no iteration can be replayed or elided."""
+    The conv output feeds the next iteration's input (clipped/cast) so no
+    iteration can be replayed or elided, and the tunnel round-trip is
+    cancelled by differencing K- and 2K-iteration programs
+    (utils/profiler.timed_scan_delta — a single micro program is ~50 ms
+    of latency around ~1 ms of device work)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
+
+    from yololp_tpu.utils.profiler import timed_scan_delta
 
     rows = []
     # (spatial/img divisor, channels): yololps stages at width 0.50
@@ -72,33 +77,30 @@ def conv_rates(batch, img, iters):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=pet)
 
+        def make_scan(step):
+            def of_k(k):
+                def run(x0, w):
+                    def body(x, _):
+                        return step(x, w), ()
+                    return lax.scan(body, x0, None, length=k)[0]
+                return run
+            return of_k
+
         xb = jnp.asarray(np.random.randn(batch, s, s, c) * 0.1, jnp.bfloat16)
         wb = jnp.asarray(np.random.randn(3, 3, c, c) * 0.01, jnp.bfloat16)
-
-        def bf16_scan(x0, w):
-            def body(x, _):
-                y = conv(x, w, jnp.float32)
-                # renormalize so values stay finite across iterations
-                x2 = (y * jnp.asarray(1e-2, jnp.float32)).astype(jnp.bfloat16)
-                return x2, ()
-            xK, _ = lax.scan(body, x0, None, length=iters)
-            return xK
-
-        t_bf16 = _timed_scan(bf16_scan, iters, xb, wb)
+        t_bf16 = timed_scan_delta(
+            make_scan(lambda x, w: (conv(x, w, jnp.float32)
+                                    * jnp.asarray(1e-2, jnp.float32)
+                                    ).astype(jnp.bfloat16)),
+            iters, xb, wb)
 
         xi = jnp.asarray(np.random.randint(-127, 128, (batch, s, s, c)),
                          jnp.int8)
         wi = jnp.asarray(np.random.randint(-127, 128, (3, 3, c, c)), jnp.int8)
-
-        def int8_scan(x0, w):
-            def body(x, _):
-                y = conv(x, w, jnp.int32)
-                x2 = jnp.clip(y >> 12, -127, 127).astype(jnp.int8)
-                return x2, ()
-            xK, _ = lax.scan(body, x0, None, length=iters)
-            return xK
-
-        t_int8 = _timed_scan(int8_scan, iters, xi, wi)
+        t_int8 = timed_scan_delta(
+            make_scan(lambda x, w: jnp.clip(conv(x, w, jnp.int32) >> 12,
+                                            -127, 127).astype(jnp.int8)),
+            iters, xi, wi)
 
         rows.append({"hw": s, "ch": c,
                      "bf16_tflops": round(flops / t_bf16 / 1e12, 2),

@@ -87,3 +87,14 @@ def timed_scan(make_fn, iters, *op):
     t0 = time.perf_counter()
     jax.block_until_ready(fn(*op2))
     return (time.perf_counter() - t0) / iters
+
+
+def timed_scan_delta(make_fn_of_k, iters, *op):
+    """Latency-free per-iteration time: wall(2K-iteration program) minus
+    wall(K-iteration program), over K. Cancels the constant dispatch
+    round-trip (≈50 ms over the axon tunnel), which dominates micro
+    programs whose whole K-iteration compute is sub-millisecond.
+    `make_fn_of_k(K)` must return the K-length chained-scan program."""
+    t1 = timed_scan(make_fn_of_k(iters), iters, *op) * iters
+    t2 = timed_scan(make_fn_of_k(2 * iters), 2 * iters, *op) * 2 * iters
+    return max(t2 - t1, 1e-12) / iters
