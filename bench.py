@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Benchmark: yololps throughput on the attached TPU (one chip).
 
-All measurements cycle DISTINCT pre-staged device-resident input batches
-(never the same batch, which can hit replay/caching artifacts over the
-tunnel). Inference reports pipelined throughput (async dispatch, one final
-sync — the serving-loop behavior) as the headline plus a conservative
-per-batch-synced number (includes one tunnel RTT per batch); the train step
-is inherently serialized by the state dependency and is timed per step:
+Timing protocol (r4, after two rounds of replay artifacts): the inference
+headlines run K data-dependent iterations inside ONE jitted lax.scan and
+time the second dispatch on fresh buffers (utils/profiler.timed_scan) —
+the tunnel serves repeated (program, buffers) dispatches from a replay
+path, which inflated the rotating-4-buffer int8 number 5x. A secondary
+per-batch-synced number (every staged buffer used exactly once; includes
+one tunnel RTT per batch) keeps the serving-loop shape. The train step is
+naturally replay-proof: its updated state feeds the next dispatch:
 
   * headline: e2e bf16 inference (uint8 -> normalize -> fused forward ->
     290-col decode -> fixed-shape NMS) at 640x640 b128,
@@ -218,56 +220,113 @@ def _pipelined_time(step, staged_inputs, iters):
 def bench_inference(model, variables, batch, img, iters=20, mesh=None):
     """Single-device by default; with `mesh` (n>1 visible devices) the same
     e2e program is sharded batch-over-devices (parallel/infer.py) and the
-    reported number is the AGGREGATE mesh throughput."""
+    reported number is the AGGREGATE mesh throughput.
+
+    Headline protocol (r4 fix): K data-dependent iterations inside ONE
+    jitted lax.scan, timed on fresh buffers (utils/profiler.timed_scan).
+    The previous rotating-4-buffer pipelined loop re-dispatched identical
+    (program, buffers) pairs, which the tunnel can serve from a replay
+    path — it inflated the int8 e2e number 5x (3052 img/s reported vs
+    610 measured in-scan on the same program). The sync number keeps
+    the dispatch-per-batch shape but uses every staged buffer exactly
+    once, so no pair ever repeats."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from yololp_tpu.ops.nms import non_max_suppression
+    from yololp_tpu.utils.profiler import timed_scan
+
+    rng = np.random.default_rng(0)
 
     if mesh is not None:
+        # The sharded runner isn't scan-composable; distinct-buffer
+        # pipelined dispatch is the best available protocol here (only
+        # used when >1 device is attached — the driver benches 1 chip).
         from yololp_tpu.parallel.infer import make_sharded_infer_fn
 
         run2, put = make_sharded_infer_fn(
             model, variables, mesh, conf_thres=0.4, iou_thres=0.45,
             max_det=300, pre_nms_topk=256, dtype=jnp.bfloat16)
         run = lambda images_u8: run2(images_u8)[::2]  # (det, num)
-    else:
-        put = jax.device_put
+        staged = [(put(rng.integers(0, 255, (batch, img, img, 3),
+                                    np.uint8)),) for _ in range(4)]
+        jax.block_until_ready(run(*staged[0]))  # compile
+        dt_sync = _median_iter_time(run, staged, iters)
+        dt_pipe = _pipelined_time(run, staged, iters)
+        return batch / dt_pipe, batch / dt_sync
 
-        @jax.jit
-        def run(images_u8):
-            x = images_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-            pred = model.apply(variables, x, train=False)
-            det, valid, num = non_max_suppression(
-                pred, conf_thres=0.4, iou_thres=0.45, max_det=300,
-                pre_nms_topk=256)
-            return det, num
+    def fwd(images_u8):
+        x = images_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+        pred = model.apply(variables, x, train=False)
+        det, valid, num = non_max_suppression(
+            pred, conf_thres=0.4, iou_thres=0.45, max_det=300,
+            pre_nms_topk=256)
+        return det, num
 
-    rng = np.random.default_rng(0)
-    staged = [(put(rng.integers(0, 255, (batch, img, img, 3), np.uint8)),)
-              for _ in range(4)]
-    jax.block_until_ready(run(*staged[0]))  # compile
-    dt_sync = _median_iter_time(run, staged, iters)
-    dt_pipe = _pipelined_time(run, staged, iters)
-    return batch / dt_pipe, batch / dt_sync
+    def scan_prog(images_u8, c0):
+        def body(c, _):
+            det, num = fwd(images_u8 + c)
+            return c + 1, (jnp.sum(det.astype(jnp.float32)) * 1e-9
+                           + jnp.sum(num))
+        _, vs = lax.scan(body, c0, None, length=iters)
+        return vs
+
+    x = jax.device_put(rng.integers(0, 255, (batch, img, img, 3), np.uint8))
+    dt_scan = timed_scan(scan_prog, iters, x, jnp.uint8(0))
+
+    # sync: one dispatch per DISTINCT buffer (each used once), median RTT-
+    # inclusive per-batch time
+    run = jax.jit(fwd)
+    staged = [(jax.device_put(rng.integers(0, 255, (batch, img, img, 3),
+                                           np.uint8)),) for _ in range(6)]
+    jax.block_until_ready(run(*staged[0]))  # compile (cache-shared w/ scan)
+    times = []
+    for s in staged[1:]:
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(*s))
+        times.append(time.perf_counter() - t0)
+    dt_sync = float(np.median(times))
+    return batch / dt_scan, batch / dt_sync
 
 
 def bench_int8(model, variables, batch, img, iters=20):
+    """In-scan chained protocol (see bench_inference) — the rotating-
+    buffer loop this replaces reported 3052 img/s for a program whose
+    true in-scan rate was 610."""
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    from yololp_tpu.quant.int8_infer import make_int8_infer_fn
+    from yololp_tpu.quant.int8_infer import int8_apply, quantize_kernels_int8
+    from yololp_tpu.ops.nms import non_max_suppression
     from yololp_tpu.quant.quantize import calibrate
+    from yololp_tpu.utils.profiler import timed_scan
 
     rng = np.random.default_rng(1)
     calib = [rng.integers(0, 255, (8, img, img, 3), np.uint8)
              for _ in range(2)]
     amax = calibrate(model, variables, calib, method="max")
-    run = make_int8_infer_fn(model, variables, amax)
-    staged = [(jax.device_put(rng.integers(0, 255, (batch, img, img, 3),
-                                           np.uint8)),)
-              for _ in range(4)]
-    jax.block_until_ready(run(*staged[0]))
-    dt = _pipelined_time(run, staged, iters)
+    table = quantize_kernels_int8(variables["params"])
+
+    def fwd(images_u8):
+        x = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+        pred = int8_apply(model, variables, x, amax, table, train=False)
+        det, valid, num = non_max_suppression(
+            pred.astype(jnp.float32), conf_thres=0.4, iou_thres=0.45,
+            max_det=300)
+        return det, num
+
+    def scan_prog(images_u8, c0):
+        def body(c, _):
+            det, num = fwd(images_u8 + c)
+            return c + 1, (jnp.sum(det.astype(jnp.float32)) * 1e-9
+                           + jnp.sum(num))
+        _, vs = lax.scan(body, c0, None, length=iters)
+        return vs
+
+    x = jax.device_put(rng.integers(0, 255, (batch, img, img, 3), np.uint8))
+    dt = timed_scan(scan_prog, iters, x, jnp.uint8(0))
     return batch / dt
 
 
