@@ -226,10 +226,14 @@ def bench_inference(model, variables, batch, img, iters=20, mesh=None):
     jitted lax.scan, timed on fresh buffers (utils/profiler.timed_scan).
     The previous rotating-4-buffer pipelined loop re-dispatched identical
     (program, buffers) pairs, which the tunnel can serve from a replay
-    path — it inflated the int8 e2e number 5x (3052 img/s reported vs
-    610 measured in-scan on the same program). The sync number keeps
-    the dispatch-per-batch shape but uses every staged buffer exactly
-    once, so no pair ever repeats."""
+    path (proven on the train step: 21.9 ms "measured" for a 165 ms
+    program; a bare conv at 25,749 "TFLOP/s"). The in-scan protocol is
+    immune by construction. NOTE the r4d "610 img/s int8" scare that
+    motivated the switch was itself a DUAL-QUEUE CONTENTION artifact —
+    two queue scripts shared the chip 15:38-16:30 Aug 18; remeasured on a
+    quiet host the same program runs ~3150 img/s (runs/q4e). The sync
+    number keeps the dispatch-per-batch shape but uses every staged
+    buffer exactly once, so no pair ever repeats."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -291,9 +295,10 @@ def bench_inference(model, variables, batch, img, iters=20, mesh=None):
 
 
 def bench_int8(model, variables, batch, img, iters=20):
-    """In-scan chained protocol (see bench_inference) — the rotating-
-    buffer loop this replaces reported 3052 img/s for a program whose
-    true in-scan rate was 610."""
+    """In-scan chained protocol (see bench_inference). Quiet-host value
+    b128@640: ~3150 img/s (the r4d in-scan "610" was measured under
+    dual-queue contention; the old rotating-buffer "3052" was in fact
+    approximately right for this leg)."""
     import jax
     import jax.numpy as jnp
     from jax import lax

@@ -1,14 +1,18 @@
 #!/usr/bin/env python3
-"""Surgical attribution of the int8 e2e slowdown.
+"""Surgical attribution ladder for int8-vs-bf16 e2e deltas.
 
-The r4 trusted-protocol grid (profile_int8, in-scan chained, fresh
-buffers) measured the int8 deploy forward at b128@640 as ~4.7x SLOWER
-than bf16 (210 ms vs 45 ms) — while bare conv(int8,int8)->int32 at the
-model's own geometries is 1.5-2.0x FASTER than bf16. Something specific
-in the e2e int8 program has a pathological lowering. Prime suspect: the
-stem conv (3 input channels; int8's (32,128) tile pads 3 -> 32 sublanes,
-and the low-channel conv may fall off the MXU path entirely), followed
-by the quantize/requant epilogues on stage-2-sized tensors.
+HISTORY: this probe was written to chase a measured "int8 e2e ~4.7x
+slower than bf16" (r4d profile_int8 grid). Its own first run then showed
+a skip-configuration-INDEPENDENT ~400 ms floor on every int8 variant —
+which exposed the real cause: TWO device queues (q4d pid 5609 + q4d2 pid
+6803) were sharing the one tunnel chip 15:38-16:30 Aug 18, and every
+number from that window is contention garbage. Remeasured on a quiet
+host (runs/q4e, Aug 18 21:05): int8_full 33.8 ms vs bf16 41.5 ms at
+b128@640 — int8 is 1.23x FASTER, consistent with the banked bench.
+Queues now take an exclusive flock on runs/.device.lock (tpuq_r4e2.sh).
+
+The ladder itself remains useful for attributing genuine per-stage int8
+deltas, hence kept:
 
 This probe times, with the trusted protocol (utils/profiler.timed_scan,
 K chained data-dependent iterations, fresh timed buffers):
@@ -118,7 +122,7 @@ def main(argv=None):
 
     if not args.skip_chain_micro:
         from yololp_tpu.quant.int8_infer import _chain_repblock
-        from yololp_tpu.utils.profiler import timed_scan_delta
+        from yololp_tpu.utils.profiler import timed_scan_delta2 as timed_scan_delta
 
         # stage-2-like chain: 4 links of 3x3 C->C convs at (B, S/8, S/8, C)
         C, s2 = 128, S // 8

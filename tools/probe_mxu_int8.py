@@ -19,9 +19,11 @@ pallas conv); if even the pallas int8 matmul is ~1x, the 2x simply is not
 reachable from this software stack and docs/tutorial_quant.md should say
 so with this probe as evidence.
 
-Timing protocol: yololp_tpu.utils.profiler.timed_scan (K data-dependent
-iterations in one program; fresh buffers on the timed dispatch) — the only
-protocol that survives the axon tunnel's replay/contention pathologies.
+Timing protocol: yololp_tpu.utils.profiler.timed_scan_delta2 (K
+data-dependent iterations in one program; same-buffer median walls, K/2K
+differencing with a replay-scaling guard). Fresh-buffer differencing
+(timed_scan_delta) buried the signal under a seconds-scale noisy operand
+transfer — see tools/diag_scan_walls.py.
 """
 
 from __future__ import annotations
@@ -90,7 +92,7 @@ def matmul_case(M, K, iters, use_pallas, bm):
     per-iteration seconds, tunnel round-trip cancelled (timed_scan_delta:
     a 20-iteration matmul program is ~1 ms of device work inside a ~50 ms
     dispatch, so single-program timing is pure latency)."""
-    from yololp_tpu.utils.profiler import timed_scan_delta
+    from yololp_tpu.utils.profiler import timed_scan_delta2 as timed_scan_delta
 
     def make_run(mm, chain):
         def of_k(k):
@@ -145,7 +147,7 @@ def conv_case(B, S, C, iters):
     """3x3 same-ch conv at one model geometry: XLA conv bf16/int8 +
     9-dots int8. Returns dict of per-iter seconds (round-trip
     cancelled — see matmul_case)."""
-    from yololp_tpu.utils.profiler import timed_scan_delta
+    from yololp_tpu.utils.profiler import timed_scan_delta2 as timed_scan_delta
 
     def conv(x, w, pet):
         return lax.conv_general_dilated(
@@ -206,20 +208,25 @@ def main(argv=None):
 
     out = {"platform": jax.devices()[0].platform}
 
+    # Shapes sized so a K-iteration program is >=10 ms of device work even
+    # at peak rate: the r4d2 run used 2-GFLOP/iter cases whose whole program
+    # fit inside the tunnel's ~50 ms round-trip jitter and reported 0.5-1.8
+    # "TFLOP/s" for matmuls the chip runs 50x faster.
     mm_shapes = ([(256, 128)] if args.small
-                 else [(8192, 512), (2048, 1024), (1024, 2048)])
+                 else [(16384, 512), (8192, 1024), (4096, 2048)])
+    mm_iters = args.iters if args.small else args.iters * 5
     rows = []
     for M, K in mm_shapes:
-        flops = 2 * M * K * K * args.iters / args.iters  # per iter
+        flops = 2 * M * K * K  # per iter
         row = {"M": M, "K": K}
-        t_f, t_i = matmul_case(M, K, args.iters, False, args.bm)
+        t_f, t_i = matmul_case(M, K, mm_iters, False, args.bm)
         row["xla_bf16_tflops"] = round(flops / t_f / 1e12, 1)
         row["xla_int8_tops"] = round(flops / t_i / 1e12, 1)
         row["xla_int8_speedup"] = round(t_f / t_i, 3)
         if not args.skip_pallas:
             bm = min(args.bm, M)
             try:
-                t_f, t_i = matmul_case(M, K, args.iters, True, bm)
+                t_f, t_i = matmul_case(M, K, mm_iters, True, bm)
                 row["pallas_bf16_tflops"] = round(flops / t_f / 1e12, 1)
                 row["pallas_int8_tops"] = round(flops / t_i / 1e12, 1)
                 row["pallas_int8_speedup"] = round(t_f / t_i, 3)

@@ -63,7 +63,7 @@ def conv_rates(batch, img, iters):
     import numpy as np
     from jax import lax
 
-    from yololp_tpu.utils.profiler import timed_scan_delta
+    from yololp_tpu.utils.profiler import timed_scan_delta2 as timed_scan_delta
 
     rows = []
     # (spatial/img divisor, channels): yololps stages at width 0.50

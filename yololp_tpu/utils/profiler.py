@@ -94,7 +94,53 @@ def timed_scan_delta(make_fn_of_k, iters, *op):
     wall(K-iteration program), over K. Cancels the constant dispatch
     round-trip (≈50 ms over the axon tunnel), which dominates micro
     programs whose whole K-iteration compute is sub-millisecond.
-    `make_fn_of_k(K)` must return the K-length chained-scan program."""
+    `make_fn_of_k(K)` must return the K-length chained-scan program.
+
+    DEPRECATED for micro-rates on the tunnel: the fresh-buffer dispatch
+    it times includes a multi-second, ±0.5 s-noisy host->device transfer
+    of the rolled operands (tools/diag_scan_walls.py, r4e), which buries
+    any sub-100 ms K-dependent signal. Use timed_scan_delta2."""
     t1 = timed_scan(make_fn_of_k(iters), iters, *op) * iters
     t2 = timed_scan(make_fn_of_k(2 * iters), 2 * iters, *op) * 2 * iters
     return max(t2 - t1, 1e-12) / iters
+
+
+def timed_scan_delta2(make_fn_of_k, iters, *op, repeats=3):
+    """Per-iteration time from SAME-BUFFER dispatches: median wall of the
+    2K-iteration program minus median wall of the K-iteration program,
+    over K.
+
+    Rationale (tools/diag_scan_walls.py, r4e): repeat dispatches of an
+    identical (program, buffers) pair measured stable, correctly
+    K-scaling walls (no replay within a handful of repeats), while
+    fresh-buffer dispatches carry a seconds-scale noisy transfer penalty
+    that buries micro signals. The body must still be a data-dependent
+    chain (lax.scan feeding each iteration from the carry) so no
+    iteration can be elided inside the program.
+
+    Replay guard: the tunnel HAS served whole-result replays for
+    repeat-dispatched pairs in other regimes (a 165 ms train step
+    "measured" at 21.9 ms). If that happened here both walls would
+    collapse to the ~25 ms round-trip floor and stop scaling with K —
+    raise rather than return a fiction."""
+    import time
+
+    import numpy as np
+
+    def median_wall(fn):
+        jax.block_until_ready(fn(*op))  # compile + warm
+        walls = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*op))
+            walls.append(time.perf_counter() - t0)
+        return float(np.median(walls))
+
+    t1 = median_wall(jax.jit(make_fn_of_k(iters)))
+    t2 = median_wall(jax.jit(make_fn_of_k(2 * iters)))
+    if t2 <= t1 * 1.05:
+        raise RuntimeError(
+            f"K->2K wall did not scale (K={iters}: {t1 * 1e3:.1f} ms, "
+            f"2K: {t2 * 1e3:.1f} ms) — replay suspected or signal below "
+            "round-trip jitter; increase iters")
+    return (t2 - t1) / iters
