@@ -48,25 +48,33 @@ def model_flops(fn, *example_args) -> dict:
 
 # ---- trusted wall-clock timing over the axon tunnel -------------------------
 #
-# The tunnel serves repeat dispatches of identical (program, buffers) pairs
-# from a replay path, and back-to-back async dispatch loops contend in its
-# queue — both report impossible rates (a 165 ms train step "measured" at
-# 21.9 ms; a bare conv at 25,749 "TFLOP/s" on a 197-peak chip). The only
-# protocol that has matched end-to-end wall time on this setup:
+# Hard-won protocol (r1-r4e; evidence in tools/diag_scan_walls.py and the
+# probe replay incidents catalogued in CLAUDE.md):
 #
-#   * K data-dependent iterations inside ONE jitted program (a lax.scan whose
-#     carry feeds each iteration's input), so no iteration can be elided or
-#     replayed individually; and
-#   * the timed dispatch runs on FRESH device buffers with permuted content,
-#     so (program, buffers) differs from the warm-up dispatch.
-#
-# See CLAUDE.md "Micro-benchmarks on the tunnel" and tools/profile_train.py.
+#   1. block_until_ready over this tunnel is NOT a completion barrier in
+#      every regime: walls of 0.0-0.5 ms have been observed for dispatches
+#      whose device work is tens of ms (with the drained work then surfacing
+#      in a LATER call's wall). The only event that provably postdates the
+#      computation is FETCHING A VALUE that data-depends on it. Every timed
+#      region must therefore end with a device_get of a small reduction of
+#      the program's output.
+#   2. The timed program runs K data-dependent iterations inside ONE jitted
+#      lax.scan (the carry feeds each iteration), so no iteration can be
+#      elided individually, and the constant round-trip amortizes over K
+#      (or cancels exactly in the K/2K differencing of timed_scan_delta2).
+#   3. The timed dispatch uses operand CONTENTS the server has not seen —
+#      produced ON DEVICE by a jitted roll (host device_put transfers are
+#      seconds-scale and noisy; they must never overlap a timed window).
+#      Identical (program, operand) replays have reported 165 ms programs
+#      at 21.9 ms and a conv at 25,749 "TFLOP/s" on a 197-peak chip.
 
 
 def fresh_operands(op):
     """Rebuild operands (arrays or pytrees of arrays) as NEW device buffers
     with permuted (but distribution-identical) content — defeats the tunnel
-    replay cache."""
+    replay cache. DEPRECATED for timing use: the host->device transfer is
+    seconds-scale and can land inside a subsequent timed window; prefer the
+    on-device roll inside timed_scan/timed_scan_delta2."""
     import numpy as np
 
     def one(a):
@@ -76,17 +84,71 @@ def fresh_operands(op):
     return tuple(jax.tree.map(one, jax.device_get(x)) for x in op)
 
 
-def timed_scan(make_fn, iters, *op):
-    """Per-iteration wall time of one jitted K-iteration chained-scan
-    program; compile excluded (second dispatch timed, on fresh buffers)."""
+def _tree_reduce_to_scalar(out):
+    """f32 scalar data-depending on every array leaf of `out`."""
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+    return sum(jnp.sum(x.astype(jnp.float32)) * 1e-9 for x in leaves)
+
+
+def _fresh_rolled(op, shift):
+    """Operands with never-seen contents, produced ON DEVICE: the first
+    array leaf (ndim > 0) anywhere in the operand pytrees is rolled along
+    axis 0 by `shift` (a jitted device op — no host transfer), making the
+    (program, operands) pair new. The roll is drained by fetching one
+    element. Rolling one leaf is numerically irrelevant for timing."""
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(op)
+    i = next((k for k, a in enumerate(leaves)
+              if getattr(a, "ndim", 0) > 0), None)
+    if i is None:
+        return op
+    rolled = _roll_jit()(leaves[i], shift)
+    np.asarray(jax.jit(lambda a: a.reshape(-1)[:1])(rolled))  # drain
+    leaves[i] = rolled
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def _roll_jit():
+    import jax.numpy as jnp
+
+    global _ROLL_FN
+    try:
+        return _ROLL_FN
+    except NameError:
+        _ROLL_FN = jax.jit(lambda a, s: jnp.roll(a, s, axis=0))
+        return _ROLL_FN
+
+
+def _timed_value_fetch(fn, op):
+    """Wall time of dispatch + fetch of a small output-dependent value —
+    the only wall that provably covers the whole computation (see the
+    protocol note above)."""
     import time
 
-    fn = jax.jit(make_fn)
-    jax.block_until_ready(fn(*op))
-    op2 = fresh_operands(op)
+    import numpy as np
+
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*op2))
-    return (time.perf_counter() - t0) / iters
+    out = fn(*op)
+    float(np.asarray(out))  # value fetch: cannot complete early
+    return time.perf_counter() - t0
+
+
+_TS_SHIFT = [0]
+
+
+def timed_scan(make_fn, iters, *op):
+    """Per-iteration wall time of one jitted K-iteration chained-scan
+    program; compile excluded. The timed dispatch runs on never-seen
+    operand contents (on-device roll) and ends with a value fetch of a
+    small reduction of the outputs."""
+    fn = jax.jit(lambda *a: _tree_reduce_to_scalar(make_fn(*a)))
+    _timed_value_fetch(fn, op)  # compile + full drain (fetch)
+    _TS_SHIFT[0] += 1
+    op2 = _fresh_rolled(op, _TS_SHIFT[0])
+    return _timed_value_fetch(fn, op2) / iters
 
 
 def timed_scan_delta(make_fn_of_k, iters, *op):
@@ -106,38 +168,33 @@ def timed_scan_delta(make_fn_of_k, iters, *op):
 
 
 def timed_scan_delta2(make_fn_of_k, iters, *op, repeats=3):
-    """Per-iteration time from SAME-BUFFER dispatches: median wall of the
-    2K-iteration program minus median wall of the K-iteration program,
-    over K.
+    """Per-iteration time: median wall of the 2K-iteration program minus
+    median wall of the K-iteration program, over K.
 
-    Rationale (tools/diag_scan_walls.py, r4e): repeat dispatches of an
-    identical (program, buffers) pair measured stable, correctly
-    K-scaling walls (no replay within a handful of repeats), while
-    fresh-buffer dispatches carry a seconds-scale noisy transfer penalty
-    that buries micro signals. The body must still be a data-dependent
-    chain (lax.scan feeding each iteration from the carry) so no
-    iteration can be elided inside the program.
+    Encodes every rule from the module-level protocol note: value-fetch
+    completion barrier (block_until_ready alone has returned 0.0-0.5 ms
+    for tens-of-ms programs), on-device rolled operand contents per timed
+    dispatch (host device_put is seconds-scale noisy; seen contents can
+    replay), and a data-dependent scan body (no per-iteration elision).
 
-    Replay guard: the tunnel HAS served whole-result replays for
-    repeat-dispatched pairs in other regimes (a 165 ms train step
-    "measured" at 21.9 ms). If that happened here both walls would
-    collapse to the ~25 ms round-trip floor and stop scaling with K —
-    raise rather than return a fiction."""
-    import time
-
+    The K->2K scaling guard stays as a tripwire: if the walls do not
+    scale, the result would be fiction — raise instead of returning it."""
     import numpy as np
 
-    def median_wall(fn):
-        jax.block_until_ready(fn(*op))  # compile + warm
+    shift = [1000]  # disjoint from timed_scan's shifts
+
+    def median_wall(make_fn):
+        fn = jax.jit(lambda *a: _tree_reduce_to_scalar(make_fn(*a)))
+        _timed_value_fetch(fn, op)  # compile + full drain (fetch)
         walls = []
         for _ in range(repeats):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*op))
-            walls.append(time.perf_counter() - t0)
+            shift[0] += 1
+            cur = _fresh_rolled(op, shift[0])
+            walls.append(_timed_value_fetch(fn, cur))
         return float(np.median(walls))
 
-    t1 = median_wall(jax.jit(make_fn_of_k(iters)))
-    t2 = median_wall(jax.jit(make_fn_of_k(2 * iters)))
+    t1 = median_wall(make_fn_of_k(iters))
+    t2 = median_wall(make_fn_of_k(2 * iters))
     if t2 <= t1 * 1.05:
         raise RuntimeError(
             f"K->2K wall did not scale (K={iters}: {t1 * 1e3:.1f} ms, "
