@@ -166,3 +166,28 @@ def test_int8_conv_as_dots_bit_exact():
                             chain_repblocks=chain, stage_handoffs=handoff,
                             conv_impl="dots")
         np.testing.assert_array_equal(np.asarray(y_conv), np.asarray(y_dots))
+
+def test_int8_conv_impl_pallas_matches_conv():
+    """conv_impl="pallas" swaps RepBlock chains onto the fused pallas
+    kernel (ops/pallas_conv.chain_repblock_pallas); interior int8 links
+    are bit-identical math, only the chain-exit bf16 cast can wobble by
+    one ULP (FMA contraction), so predictions must agree tightly."""
+    cfg = Config.named("yololpn")
+    _, tv = build_model(cfg, img_size=(64, 64))
+    variables = fuse_variables(tv)
+    model = Model(config=cfg, deploy=True)
+    batch = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    amax = calibrate(model, variables, [batch], method="max")
+    table = quantize_kernels_int8(variables["params"])
+    x = jnp.asarray(batch).astype(jnp.float32) / 255.0
+
+    y_conv = int8_apply(model, variables, x, amax, table, train=False,
+                        conv_impl="conv")
+    y_pal = int8_apply(model, variables, x, amax, table, train=False,
+                       conv_impl="pallas")
+    np.testing.assert_allclose(np.asarray(y_pal[..., 13:]),
+                               np.asarray(y_conv[..., 13:]),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(y_pal[..., :4]),
+                               np.asarray(y_conv[..., :4]),
+                               rtol=2e-2, atol=0.5)

@@ -51,7 +51,7 @@ def get_args_parser():
                    help="execute calibrated convs in int8 (needs --calib-pt)")
     p.add_argument("--calib-pt", type=str, default=None,
                    help="calibration amax json (from train.py --quant --calib)")
-    p.add_argument("--conv-impl", default="conv", choices=["conv", "dots"],
+    p.add_argument("--conv-impl", default="conv", choices=["conv", "dots", "pallas"],
                    help="int8 conv lowering: XLA conv path, or 3x3/1x1 "
                         "convs rerouted onto the matmul path (dots)")
     p.add_argument("--save-json", action="store_true",

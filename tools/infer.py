@@ -45,7 +45,7 @@ def get_args_parser():
     parser.add_argument("--int8", action="store_true",
                         help="execute calibrated convs in int8")
     parser.add_argument("--conv-impl", default="conv",
-                        choices=["conv", "dots"],
+                        choices=["conv", "dots", "pallas"],
                         help="int8 conv lowering (see eval.py)")
     parser.add_argument("--calib-pt", type=str, default=None,
                         help="calibration amax json (required with --int8)")

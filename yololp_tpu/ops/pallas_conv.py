@@ -106,10 +106,11 @@ def conv3x3_int8_fused(x_q, w9, a, b, *, relu=True, out_dtype=jnp.int8,
         kern,
         grid=grid,
         in_specs=[
-            # element-granular row offsets (pl.Element): consecutive row
-            # slabs overlap by the 2 halo rows, which blocked indexing
-            # cannot express
-            pl.BlockSpec((1, pl.Element(tr + 2), s + 2, c),
+            # element-granular offsets (pl.Element on EVERY dim — mosaic
+            # rejects mixing): consecutive row slabs overlap by the 2 halo
+            # rows, which blocked indexing cannot express
+            pl.BlockSpec((pl.Element(1), pl.Element(tr + 2),
+                          pl.Element(s + 2), pl.Element(c)),
                          lambda i, r: (i, r * tr, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c, o), lambda i, r: (0, 0, 0),

@@ -213,7 +213,17 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
             sub = [f"{path}/{n}/conv" for n in names]
             if all(p in amax_by_path and p in weight_table
                    and not _skip(p, skip_substrings) for p in sub):
-                return _chain_repblock(args[0], sub, amax_by_path,
+                x_in = args[0]
+                if (conv_impl == "pallas"
+                        and x_in.shape[1] == x_in.shape[2]):
+                    # fused pallas links: conv+requant in one kernel, the
+                    # int32 accumulator never leaves VMEM
+                    from yololp_tpu.ops.pallas_conv import \
+                        chain_repblock_pallas
+                    return chain_repblock_pallas(x_in, sub, amax_by_path,
+                                                 weight_table,
+                                                 out_dtype=model_dtype)
+                return _chain_repblock(x_in, sub, amax_by_path,
                                        weight_table, out_dtype=model_dtype,
                                        conv_impl=conv_impl)
         if (isinstance(m, nn.Conv) and context.method_name == "__call__"):
