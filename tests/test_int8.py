@@ -128,7 +128,11 @@ def test_int8_stage_handoffs_match_non_handoff():
     table = quantize_kernels_int8(variables["params"])
 
     hand = backbone_handoffs(amax, table)
-    assert len(hand) >= 5, sorted(hand)   # stem + ERBlock_2..5 downs
+    # ERBlock_2..5 downsample->rep seams; the stem seam is gone since the
+    # stem joined DEFAULT_SKIP_SUBSTRINGS (slower quantized than bf16 —
+    # see quantize.py)
+    assert len(hand) >= 4, sorted(hand)
+    assert not any("stem" in p for p in hand), sorted(hand)
     for prod, cons in hand.items():
         assert prod in amax and cons in amax
 

@@ -34,10 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_row_tile(s: int, c: int, vmem_budget: int = 10 * 2**20) -> int:
+def _pick_row_tile(s: int, c: int, vmem_budget: int = 6 * 2**20) -> int:
     """Largest row tile TR dividing S whose working set fits the budget:
     2x input slab (TR+2, S+2, C) int8 (double-buffered), 2x output
-    (TR, S, O) int8, one (TR*S, O) int32 accumulator."""
+    (TR, S, O) int8, int32 accumulator + f32 epilogue temp. The 6 MB
+    budget is empirical: a 10 MB estimate crashed the mosaic compile at
+    (S=160, C=64) on v5e (runs/q4e/probe_pallas_conv2.json)."""
     for tr in [t for t in (s, s // 2, s // 4, s // 8) if t and s % t == 0]:
         need = (2 * (tr + 2) * (s + 2) * c      # in slabs, int8
                 + 2 * tr * s * c                # out tiles, int8

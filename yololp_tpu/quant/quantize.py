@@ -30,8 +30,13 @@ from flax import linen as nn
 HIST_BINS = 2048
 
 # layers the reference never quantizes (qat_utils.py:61 skips proj_conv and
-# the sensitive head layers from the config list)
-DEFAULT_SKIP_SUBSTRINGS: Tuple[str, ...] = ("proj_conv",)
+# the sensitive head layers from the config list), plus the stem: its
+# 3-channel input pads to 32 int8 sublanes and the quantized stem measures
+# NET SLOWER than bf16 (+1.4 ms/batch at b128@640 — runs/q4e/
+# probe_int8_e2e.json r4e: int8_full 33.85 ms vs skip_stem 32.41 ms),
+# while also being the network's most quantization-sensitive layer
+# (standard TRT practice keeps the first conv in higher precision).
+DEFAULT_SKIP_SUBSTRINGS: Tuple[str, ...] = ("proj_conv", "backbone/stem")
 
 
 @jax.custom_vjp
