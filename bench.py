@@ -335,15 +335,23 @@ def bench_int8(model, variables, batch, img, iters=20):
     return batch / dt
 
 
-def bench_train_step(batch=32, img=640, iters=12):
+def bench_train_step(batch=32, img=640, iters=10):
+    """In-scan chained train-step rate (utils/profiler.timed_scan): K
+    steps inside one program, each on carry-perturbed images, state
+    threaded through — the device-side rate a real training loop reaches
+    with --epochs-per-dispatch. A per-dispatch loop additionally pays the
+    ~25 ms tunnel round-trip every step (162 vs 116 ms at b32@640, r4e),
+    which is a tunnel artifact, not a property of the step."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from yololp_tpu.core.train_step import init_train_state, make_train_step
     from yololp_tpu.losses.loss import LossConfig
     from yololp_tpu.models import Model, build_model
     from yololp_tpu.solver.build import SolverConfig
     from yololp_tpu.utils.config import Config
+    from yololp_tpu.utils.profiler import timed_scan
 
     cfg = Config.named("yololps")
     model = Model(config=cfg, deploy=False, dtype=jnp.bfloat16)
@@ -351,39 +359,38 @@ def bench_train_step(batch=32, img=640, iters=12):
     state = init_train_state(variables)
     loss_cfg = LossConfig(img_size=(img, img), iou_type="giou")
     solver_cfg = SolverConfig(epochs=10, steps_per_epoch=100)
-    step = jax.jit(make_train_step(model, loss_cfg, solver_cfg,
-                                   batch_size=batch))
+    train_step = make_train_step(model, loss_cfg, solver_cfg,
+                                 batch_size=batch)
 
     rng = np.random.default_rng(2)
-    staged = []
-    for _ in range(3):
-        images = rng.integers(0, 255, (batch, img, img, 3), np.uint8)
-        labels = np.zeros((batch, 16, 20), np.float32)
-        labels[..., :8] = -1
-        mask = np.zeros((batch, 16), np.float32)
-        for b in range(batch):
-            n = 1 + b % 3
-            for k in range(n):
-                labels[b, k, :8] = [1, 2, 3, 4, 5, 6, 7, 36]
-                cx, cy = 0.2 + 0.3 * k, 0.3 + 0.2 * k
-                labels[b, k, 8:12] = [cx, cy, 0.25, 0.1]
-                labels[b, k, 12:20] = [cx - 0.12, cy - 0.04, cx - 0.12,
-                                       cy + 0.04, cx + 0.12, cy + 0.04,
-                                       cx + 0.12, cy - 0.04]
-                mask[b, k] = 1
-        staged.append((jax.device_put(images), jax.device_put(labels),
-                       jax.device_put(mask)))
+    images = rng.integers(0, 255, (batch, img, img, 3), np.uint8)
+    labels = np.zeros((batch, 16, 20), np.float32)
+    labels[..., :8] = -1
+    mask = np.zeros((batch, 16), np.float32)
+    for b in range(batch):
+        n = 1 + b % 3
+        for k in range(n):
+            labels[b, k, :8] = [1, 2, 3, 4, 5, 6, 7, 36]
+            cx, cy = 0.2 + 0.3 * k, 0.3 + 0.2 * k
+            labels[b, k, 8:12] = [cx, cy, 0.25, 0.1]
+            labels[b, k, 12:20] = [cx - 0.12, cy - 0.04, cx - 0.12,
+                                   cy + 0.04, cx + 0.12, cy + 0.04,
+                                   cx + 0.12, cy - 0.04]
+            mask[b, k] = 1
+    images, labels, mask = (jax.device_put(a)
+                            for a in (images, labels, mask))
 
-    state, total, items = step(state, *staged[0])  # compile
-    jax.block_until_ready(total)
-    times = []
-    for i in range(iters):
-        imgs, lbls, msks = staged[i % len(staged)]
-        t0 = time.perf_counter()
-        state, total, items = step(state, imgs, lbls, msks)
-        jax.block_until_ready(total)
-        times.append(time.perf_counter() - t0)
-    return batch / float(np.median(times))
+    def scan_prog(st, imgs, lbls, msks, c0):
+        def body(carry, _):
+            st_, c = carry
+            st_, total, _ = train_step(st_, imgs + c, lbls, msks)
+            return (st_, c + 1), total
+        (_, _), totals = lax.scan(body, (st, c0), None, length=iters)
+        return totals
+
+    dt = timed_scan(scan_prog, iters, state, images, labels, mask,
+                    jnp.uint8(0))
+    return batch / dt
 
 
 def bench_native_runner(artifact, batch=128, size=640, iters=20,
