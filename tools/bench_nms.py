@@ -67,13 +67,22 @@ def main(argv=None):
             np.where(hot, rng.uniform(0.5, 1.0, (B, A)), 0.02)
     x = jax.device_put(jnp.asarray(pred))
 
+    from jax import lax
+
+    from yololp_tpu.utils.profiler import timed_scan
+
     def bench(fn):
-        jax.block_until_ready(fn(x))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(x)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / args.iters * 1e3
+        """Trusted protocol (r4e): K carry-perturbed iterations inside one
+        scan, value-fetch completion, rolled operands — the back-to-back
+        async loop this replaces is replay/ack-unsafe on the tunnel."""
+        def prog(p0, c0):
+            def body(c, _):
+                out = fn(p0 + c * jnp.float32(1e-6))
+                s = sum(jnp.sum(t.astype(jnp.float32)) * 1e-9
+                        for t in jax.tree.leaves(out))
+                return c + 1, s
+            return lax.scan(body, c0, None, length=args.iters)[1]
+        return timed_scan(prog, args.iters, x, jnp.float32(0)) * 1e3
 
     res = {"batch": B, "anchors": A}
     for sel in ("topk", "approx"):
