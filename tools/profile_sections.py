@@ -97,19 +97,29 @@ def main(argv=None):
                                    iou_thres=args.iou_thres,
                                    max_det=300, pre_nms_topk=256)
 
+    from jax import lax
+
+    from yololp_tpu.utils.profiler import timed_scan
+
+    rng0 = np.random.default_rng(0)
+    x0 = jax.device_put(
+        (rng0.normal(0, 0.3, (B, S, S, 3)).astype(np.float32) + 0.5)
+        .clip(0, 1).astype(jnp.bfloat16))
+
     def bench(fn, name):
-        rng = np.random.default_rng(0)
-        staged = [jax.device_put(
-            (rng.normal(0, 0.3, (B, S, S, 3)).astype(np.float32) + 0.5)
-            .clip(0, 1).astype(jnp.bfloat16)) for _ in range(3)]
-        jax.block_until_ready(fn(staged[0]))
-        ts = []
-        for i in range(args.iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(staged[i % 3]))
-            ts.append(time.perf_counter() - t0)
-        ms = float(np.median(ts)) * 1e3
-        print(f"{name:28s} {ms:8.2f} ms/batch  {B / np.median(ts):8.0f} img/s",
+        """Trusted protocol (r4e): K carry-perturbed iterations in one
+        scan + value-fetch; the staged-rotation loop this replaces is
+        replay/ack-unsafe on the tunnel."""
+        def prog(p0, c0):
+            def body(c, _):
+                out = fn(p0 + c * jnp.bfloat16(1e-3))
+                s = sum(jnp.sum(t.astype(jnp.float32)) * 1e-9
+                        for t in jax.tree.leaves(out))
+                return c + 1, s
+            return lax.scan(body, c0, None, length=args.iters)[1]
+        dt = timed_scan(prog, args.iters, x0, jnp.bfloat16(0))
+        ms = dt * 1e3
+        print(f"{name:28s} {ms:8.2f} ms/batch  {B / dt:8.0f} img/s",
               flush=True)
         return ms
 
@@ -139,17 +149,22 @@ def main(argv=None):
     pred_const = jax.device_put(
         rng.normal(0, 1, (B, n_anchors, 290)).astype(np.float32))
     for it in (0, 16):
-        f = jax.jit(lambda p, k=it: non_max_suppression(
-            p, conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            max_det=300, pre_nms_topk=256, nms_iters=k))
-        jax.block_until_ready(f(pred_const))
-        ts = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(pred_const))
-            ts.append(time.perf_counter() - t0)
+        def nms_fn(p, k=it):
+            return non_max_suppression(
+                p, conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+                max_det=300, pre_nms_topk=256, nms_iters=k)
+
+        def prog(p0, c0, f=nms_fn):
+            def body(c, _):
+                out = f(p0 + c * jnp.float32(1e-6))
+                s = sum(jnp.sum(t.astype(jnp.float32)) * 1e-9
+                        for t in jax.tree.leaves(out))
+                return c + 1, s
+            return lax.scan(body, c0, None, length=args.iters)[1]
+
+        dt = timed_scan(prog, args.iters, pred_const, jnp.float32(0))
         print(f"nms alone (nms_iters={it:2d})   "
-              f"{np.median(ts) * 1e3:8.2f} ms/batch", flush=True)
+              f"{dt * 1e3:8.2f} ms/batch", flush=True)
 
 
 if __name__ == "__main__":
