@@ -40,11 +40,22 @@ def test_delta2_scales_and_guards():
     dt = timed_scan_delta2(_make_matmul_scan, 8, x, w, repeats=2)
     assert dt > 0
 
-    # a make_fn whose cost does NOT scale with K must trip the guard
+    # a make_fn whose cost does NOT scale with K must trip the guard.
+    # Walls of the two identical-cost programs differ only by host noise,
+    # so under a loaded CI host one attempt can spuriously exceed the 5%
+    # scaling threshold — retry a few times; a real regression (the guard
+    # gone) never raises on any attempt.
     def constant_cost(k):
         return _make_matmul_scan(8)  # ignores k
-    with pytest.raises(RuntimeError, match="did not scale"):
-        timed_scan_delta2(constant_cost, 8, x, w, repeats=2)
+
+    for attempt in range(3):
+        try:
+            timed_scan_delta2(constant_cost, 8, x, w, repeats=3)
+        except RuntimeError as e:
+            assert "did not scale" in str(e)
+            break
+    else:
+        pytest.fail("K->2K scaling guard never tripped in 3 attempts")
 
 
 def test_fresh_rolled_changes_contents_not_structure():
