@@ -418,7 +418,15 @@ def bench_native_runner(artifact, batch=128, size=640, iters=20,
         capture_output=True, text=True, timeout=timeout_s)
     for line in out.stdout.splitlines():
         if '"native_bench"' in line:
-            return float(json.loads(line)["native_bench"]["images_per_sec"])
+            nb = json.loads(line)["native_bench"]
+            # new runner format carries sync + depth-2 pipelined numbers
+            # (top-level images_per_sec == pipelined, kept for compat)
+            if "sync" in nb:
+                return {"images_per_sec": float(nb["images_per_sec"]),
+                        "sync_images_per_sec":
+                            float(nb["sync"]["images_per_sec"]),
+                        "fresh_buffers": nb.get("fresh_buffers")}
+            return float(nb["images_per_sec"])
     raise RuntimeError(
         f"runner rc={out.returncode}: {out.stderr[-150:]}" if out.returncode
         else f"no native_bench line in: {out.stdout[-150:]}")
@@ -519,7 +527,12 @@ def main():
                          ("native_bf16", "/tmp/yololps_bf16_640.stablehlo")):
             try:
                 n_ips = bench_native_runner(art)
-                if n_ips is not None:
+                if isinstance(n_ips, dict):
+                    native[f"{key}_images_per_sec"] = round(
+                        n_ips["images_per_sec"], 1)
+                    native[f"{key}_sync_images_per_sec"] = round(
+                        n_ips["sync_images_per_sec"], 1)
+                elif n_ips is not None:
                     native[f"{key}_images_per_sec"] = round(n_ips, 1)
             except Exception as e:  # noqa: BLE001 — secondary metric
                 native[f"{key}_error"] = str(e)[:200]
