@@ -55,7 +55,21 @@ def _in_gts(ac_points, gt_bboxes, eps: float = 1e-9):
     return (jnp.min(deltas, -1) > eps).astype(gt_bboxes.dtype)
 
 
-def _select_topk_candidates(distances, n_level_list: Sequence[int], mask_gt, topk: int):
+def _topk_indices(x, k: int, approx: bool):
+    """top-k indices along the last axis; `approx=True` uses
+    jax.lax.approx_max_k (TPU PartialReduce, recall_target 0.95) instead of
+    the full sort — the one op class the VPU can't accelerate. Opt-in only:
+    it trades element-exact reference parity for ~10 ms of the 113 ms
+    b32@640 train step (docs/perf/r5/README.md attribution)."""
+    if approx and k < x.shape[-1]:
+        _, idxs = jax.lax.approx_max_k(x, k)
+    else:
+        _, idxs = jax.lax.top_k(x, k)
+    return idxs
+
+
+def _select_topk_candidates(distances, n_level_list: Sequence[int], mask_gt,
+                            topk: int, approx: bool = False):
     """Per-level top-k nearest anchors (atss_assigner.py:557-584).
 
     Returns (is_in_candidate (B, M, A), candidate_idxs (B, M, L*k_l) with
@@ -67,7 +81,7 @@ def _select_topk_candidates(distances, n_level_list: Sequence[int], mask_gt, top
     for n in n_level_list:
         k = min(topk, n)
         level = jax.lax.dynamic_slice_in_dim(distances, start, n, axis=-1)
-        _, idxs = jax.lax.top_k(-level, k)                       # (B, M, k)
+        idxs = _topk_indices(-level, k, approx)                  # (B, M, k)
         cand.append(idxs + start)
         masked = jnp.where(mask, idxs, 0)
         onehot = jax.nn.one_hot(masked, n, dtype=distances.dtype).sum(-2)
@@ -101,7 +115,7 @@ def _resolve_conflicts(mask_pos, overlaps):
 
 
 @functools.partial(jax.jit, static_argnames=("n_level_list", "topk", "npro",
-                                             "nalp", "nads"))
+                                             "nalp", "nads", "approx_topk"))
 def atss_assign(
     anchors: jnp.ndarray,            # (A, 4) grid-cell boxes, image pixels
     n_level_list: tuple,             # static per-level anchor counts
@@ -116,6 +130,7 @@ def atss_assign(
     npro: int = 31,
     nalp: int = 24,
     nads: int = 37,
+    approx_topk: bool = False,
 ) -> ATSSResult:
     bsz, n_max = gt_bboxes.shape[:2]
     n_anchors = anchors.shape[0]
@@ -125,7 +140,7 @@ def atss_assign(
     distances, ac_points = _center_distances(gt_bboxes, anchors)
 
     is_in_candidate, candidate_idxs = _select_topk_candidates(
-        distances, n_level_list, mask_gt, topk)
+        distances, n_level_list, mask_gt, topk, approx=approx_topk)
     thr, iou_candidates = _threshold(is_in_candidate, candidate_idxs, overlaps)
 
     is_pos = jnp.where(iou_candidates > thr, is_in_candidate, 0.0)
