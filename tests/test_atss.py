@@ -114,3 +114,24 @@ def test_atss_all_padded_gts_is_all_background():
     assert (np.asarray(res.target_pro) == 31).all()
     assert (np.asarray(res.target_ads) == 37).all()
     assert np.asarray(res.target_pro_scores).sum() == 0
+
+
+def test_atss_approx_topk_branch_compiles_and_matches_on_cpu():
+    """The --approx-topk lever (ADVICE r4): keep the approx_max_k branch
+    compiling and semantically sane. On CPU approx_max_k is exact, so the
+    assignment must equal the full-sort path bit-for-bit."""
+    img = 128
+    strides = [8, 16, 32]
+    anchors, _, n_list, _ = anchors_train((img, img), strides)
+    gt_pro, gt_alp, gt_ads, gt_bboxes, gt_corners, mask = make_scene(img=img)
+    args = (anchors, tuple(n_list), jnp.asarray(gt_pro), jnp.asarray(gt_alp),
+            jnp.asarray(gt_ads), jnp.asarray(gt_bboxes * 128 / 320),
+            jnp.asarray(gt_corners * 128 / 320), jnp.asarray(mask), None)
+    exact = atss_assign(*args, approx_topk=False)
+    approx = atss_assign(*args, approx_topk=True)
+    np.testing.assert_array_equal(np.asarray(exact.fg_mask),
+                                  np.asarray(approx.fg_mask))
+    np.testing.assert_array_equal(np.asarray(exact.target_pro),
+                                  np.asarray(approx.target_pro))
+    np.testing.assert_allclose(np.asarray(exact.target_bboxes),
+                               np.asarray(approx.target_bboxes))

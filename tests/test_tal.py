@@ -115,3 +115,34 @@ def test_tal_covers_atss_dead_band():
     # document the ATSS hole itself: if this starts failing, the band moved
     # or the ATSS port changed behavior — either way worth knowing
     assert all(atss_dead), "ATSS dead band disappeared (port changed?)"
+
+
+def test_tal_approx_topk_branch_compiles():
+    """approx_topk plumbing through tal_assign (ADVICE r4): exact on CPU."""
+    import numpy as _np
+    from yololp_tpu.assigners.tal import tal_assign
+    from yololp_tpu.ops.anchors import anchors_train as _anchors_train
+    _rng = _np.random.default_rng(7)
+    img, bsz, n_max = 128, 2, 3
+    _, points, _, _ = _anchors_train((img, img), [8, 16, 32])
+    a = points.shape[0]
+    cxy = _rng.uniform(20, img - 20, (bsz, n_max, 2))
+    wh = _rng.uniform(20, 60, (bsz, n_max, 2))
+    gt_b = _np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(_np.float32)
+    gt_c = _np.concatenate([gt_b[..., [0, 1]], gt_b[..., [0, 3]],
+                            gt_b[..., [2, 3]], gt_b[..., [2, 1]]], -1)
+    pd_c = _rng.uniform(0, img, (bsz, a, 2))
+    pd_w = _rng.uniform(10, 60, (bsz, a, 2))
+    pd_b = _np.concatenate([pd_c - pd_w / 2, pd_c + pd_w / 2], -1)
+    scores = _rng.uniform(0, 1, (bsz, a, 31)).astype(_np.float32)
+    common = (jnp.asarray(scores), jnp.asarray(pd_b.astype(_np.float32)),
+              points,
+              jnp.asarray(_rng.integers(0, 31, (bsz, n_max)).astype(_np.float32)),
+              jnp.asarray(_rng.integers(0, 24, (bsz, n_max)).astype(_np.float32)),
+              jnp.asarray(_rng.integers(0, 37, (bsz, n_max, 6)).astype(_np.float32)),
+              jnp.asarray(gt_b), jnp.asarray(gt_c.astype(_np.float32)),
+              jnp.asarray(_np.ones((bsz, n_max, 1), _np.float32)))
+    exact = tal_assign(*common, approx_topk=False)
+    approx = tal_assign(*common, approx_topk=True)
+    _np.testing.assert_array_equal(_np.asarray(exact.fg_mask),
+                                   _np.asarray(approx.fg_mask))

@@ -41,6 +41,12 @@ def get_args_parser():
     p.add_argument("--name", default="exp")
     p.add_argument("--resume", nargs="?", const=True, default=False)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--approx-topk", action="store_true",
+                   help="use approx_max_k (TPU PartialReduce, recall 0.95) "
+                        "for the assigner's top-k instead of the full sort; "
+                        "the loss+assigner grad is sort-latency-bound "
+                        "(docs/perf/r5) so this trades exact reference "
+                        "parity for ~10 ms of the b32@640 step")
     p.add_argument("--assigner", choices=["atss", "tal", "atss_tal"],
                    default=None,
                    help="override the label assigner: atss (reference "

@@ -62,7 +62,9 @@ def _topk_indices(x, k: int, approx: bool):
     it trades element-exact reference parity for ~10 ms of the 113 ms
     b32@640 train step (docs/perf/r5/README.md attribution)."""
     if approx and k < x.shape[-1]:
-        _, idxs = jax.lax.approx_max_k(x, k)
+        # recall_target pinned explicitly: the documented contract must not
+        # drift if a future JAX changes approx_max_k's default.
+        _, idxs = jax.lax.approx_max_k(x, k, recall_target=0.95)
     else:
         _, idxs = jax.lax.top_k(x, k)
     return idxs

@@ -23,23 +23,24 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from yololp_tpu.assigners.atss import ATSSResult, _in_gts, _resolve_conflicts
+from yololp_tpu.assigners.atss import (ATSSResult, _in_gts, _resolve_conflicts,
+                                       _topk_indices)
 from yololp_tpu.ops.geometry import pairwise_iou
 
 
-def _topk_mask(metrics, topk: int, mask_gt):
+def _topk_mask(metrics, topk: int, mask_gt, approx: bool = False):
     """(B, M, A) metrics -> one-hot candidate mask of per-gt top-k anchors
     (tal_assigner.select_topk_candidates semantics incl. the >1 dedup)."""
     a = metrics.shape[-1]
     k = min(topk, a)
-    _, idxs = jax.lax.top_k(metrics, k)
+    idxs = _topk_indices(metrics, k, approx)
     masked = jnp.where(mask_gt.astype(bool), idxs, 0)
     onehot = jax.nn.one_hot(masked, a, dtype=metrics.dtype).sum(-2)
     return jnp.where(onehot > 1, 0.0, onehot)
 
 
 @functools.partial(jax.jit, static_argnames=("topk", "npro", "nalp", "nads",
-                                             "alpha", "beta"))
+                                             "alpha", "beta", "approx_topk"))
 def tal_assign(
     pd_pro_scores: jnp.ndarray,   # (B, A, npro) sigmoided
     pd_bboxes: jnp.ndarray,       # (B, A, 4) xyxy pixels (detached)
@@ -57,6 +58,7 @@ def tal_assign(
     alpha: float = 1.0,
     beta: float = 6.0,
     eps: float = 1e-9,
+    approx_topk: bool = False,
 ) -> ATSSResult:
     bsz, n_max = gt_bboxes.shape[:2]
 
@@ -69,7 +71,8 @@ def tal_assign(
     align_metric = jnp.power(bbox_scores, alpha) * jnp.power(overlaps, beta)
 
     in_gts = _in_gts(anc_points, gt_bboxes)
-    mask_topk = _topk_mask(align_metric * in_gts, topk, mask_gt)
+    mask_topk = _topk_mask(align_metric * in_gts, topk, mask_gt,
+                           approx=approx_topk)
     mask_pos = mask_topk * in_gts * mask_gt
 
     target_gt_idx, fg, mask_pos = _resolve_conflicts(mask_pos, overlaps)

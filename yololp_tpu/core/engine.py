@@ -159,7 +159,8 @@ class Trainer:
             strides=tuple(head["strides"]), npro=self.npro, nalp=self.nalp,
             nads=self.nads, use_dfl=bool(head["use_dfl"]),
             reg_max=int(head["reg_max"]), iou_type=head["iou_type"],
-            assigner="atss" if assigner == "atss_tal" else assigner)
+            assigner="atss" if assigner == "atss_tal" else assigner,
+            approx_topk=bool(getattr(args, "approx_topk", False)))
         self._loss_cfg_formal = (self.loss_cfg._replace(assigner="tal")
                                  if assigner == "atss_tal" else self.loss_cfg)
         solver = cfg["solver"]

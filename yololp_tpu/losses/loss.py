@@ -83,6 +83,11 @@ class LossConfig(NamedTuple):
     grid_cell_offset: float = 0.5
     topk: int = 9
     assigner: str = "atss"   # 'atss' | 'tal' (fully adapted TAL alternative)
+    # approx_max_k (recall_target 0.95) instead of the full sort in the
+    # assigner's top-k: trades element-exact reference parity for ~10 ms of
+    # the 113 ms b32@640 step (the grad is sort-latency-bound, see
+    # docs/perf/r5). Opt-in via tools/train.py --approx-topk.
+    approx_topk: bool = False
     tal_topk: int = 13
     tal_alpha: float = 1.0
     tal_beta: float = 6.0
@@ -140,13 +145,15 @@ def compute_loss(outputs: HeadTrainOutput, gt_labels: jnp.ndarray,
             jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
             anchor_points, gt_pro, gt_alp, gt_ads, gt_bboxes, gt_corners,
             mask_gt, topk=cfg.tal_topk, npro=cfg.npro, nalp=cfg.nalp,
-            nads=cfg.nads, alpha=cfg.tal_alpha, beta=cfg.tal_beta)
+            nads=cfg.nads, alpha=cfg.tal_alpha, beta=cfg.tal_beta,
+            approx_topk=cfg.approx_topk)
     else:
         res = atss_assign(
             anchors, tuple(n_list), gt_pro, gt_alp, gt_ads, gt_bboxes,
             gt_corners, mask_gt,
             jax.lax.stop_gradient(pred_bboxes) * stride_tensor,
-            topk=cfg.topk, npro=cfg.npro, nalp=cfg.nalp, nads=cfg.nads)
+            topk=cfg.topk, npro=cfg.npro, nalp=cfg.nalp, nads=cfg.nads,
+            approx_topk=cfg.approx_topk)
     fg = res.fg_mask.astype(jnp.float32)                         # (B, A)
 
     target_bboxes = res.target_bboxes / stride_tensor

@@ -1,10 +1,16 @@
 """Pallas fused int8 3x3 conv + requant for the deploy RepBlock chains.
 
-Why this kernel exists: XLA lowers conv(int8,int8)->int32 on v5e at only
-~1.2-1.5x the bf16 conv rate (tools/probe_mxu_int8.py), far from the MXU's
-2x int8 datasheet rate (394 TOPS vs 197 bf16 TFLOPS), and it cannot fuse
+Why this kernel exists: XLA's conv(int8,int8)->int32 on v5e DOES deliver
+the datasheet int8 rate (315-392 TOPS = 2.1-2.5x the bf16 conv rate under
+the trusted in-scan protocol, probe_mxu_v5 r4e — earlier "1.2-1.5x"
+readings were measurement artifacts and are retracted), but it cannot fuse
 the per-channel requantize epilogue into the convolution — each chain link
-round-trips an int32 accumulator through HBM. This kernel computes one
+round-trips an int32 accumulator through HBM, and the epilogue is ~25% of
+chain wall time. Fusing that epilogue is this kernel's one justification.
+Measured result (probe_pallas_conv, r4e): 0.85-0.97x of the XLA path —
+the fusion win does not currently beat XLA's conv schedule, so the kernel
+stays an opt-in exactness/fusion reference, not the default. This kernel
+computes one
 RepBlock link as nine shifted (rows*S, C) @ (C, O) MXU contractions over a
 VMEM-resident input slab, applies the requant epilogue (per-out-channel
 scale + bias, relu folded into the clip's lower bound, round, saturate) on
