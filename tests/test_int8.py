@@ -195,3 +195,72 @@ def test_int8_conv_impl_pallas_matches_conv():
     np.testing.assert_allclose(np.asarray(y_pal[..., :4]),
                                np.asarray(y_conv[..., :4]),
                                rtol=2e-2, atol=0.5)
+
+
+def test_int8_graph_handoffs_cover_neck_and_head_seams():
+    """r5 extension (VERDICT r4 #3): graph_handoffs must reach past the
+    backbone spine — SPPF internals, the SPPF->reduce_layer0 seam and the
+    BiFusion cv2->downsample seams — and chain_exit_handoffs must hand the
+    Rep_p4 / Rep_n4 / ERBlock_5_rep chain exits to their single conv
+    consumers. The fully-handed-off pipeline must agree with the
+    no-handoff executor (same math up to f32-requant vs bf16 round-trip
+    rounding)."""
+    from yololp_tpu.quant.int8_infer import (backbone_handoffs,
+                                             chain_exit_handoffs,
+                                             graph_handoffs)
+
+    cfg = Config.named("yololpn")
+    _, tv = build_model(cfg, img_size=(64, 64))
+    variables = fuse_variables(tv)
+    model = Model(config=cfg, deploy=True)
+    batch = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    amax = calibrate(model, variables, [batch], method="max")
+    table = quantize_kernels_int8(variables["params"])
+
+    hand = graph_handoffs(amax, table)
+    back = backbone_handoffs(amax, table)
+    assert set(hand) > set(back), "graph map must extend the backbone map"
+    # the LP models use SimCSPSPPF (configs/yololp{n,s}.py cspsppf=True):
+    # the full cv1->cv3->cv4->(pools)->cv5->cv6->cv7 spine plus the cv2
+    # bypass must be handed off, and cv7 exits straight into the neck
+    sppf = "backbone/ERBlock_5_sppf/"
+    for a, b in (("cv1", "cv3"), ("cv3", "cv4"), ("cv4", "cv5"),
+                 ("cv5", "cv6"), ("cv6", "cv7"), ("cv2", "cv7")):
+        assert hand[f"{sppf}{a}/conv"] == f"{sppf}{b}/conv", (a, b)
+    assert hand[f"{sppf}cv7/conv"] == "neck/reduce_layer0/conv"
+    assert hand["neck/Bifusion0/cv2/conv"] == "neck/Bifusion0/downsample/conv"
+    assert hand["neck/Bifusion1/cv2/conv"] == "neck/Bifusion1/downsample/conv"
+
+    exits = chain_exit_handoffs(amax, table)
+    assert exits["backbone/ERBlock_5_rep"] == \
+        "backbone/ERBlock_5_sppf/cv1/conv"
+    assert exits["neck/Rep_p4"] == "neck/reduce_layer1/conv"
+    assert exits["neck/Rep_n4"] == "detect/stem2/conv"
+    # multi-consumer exits must NOT be emitted
+    assert "neck/Rep_p3" not in exits and "neck/Rep_n3" not in exits
+
+    x = jnp.asarray(batch).astype(jnp.float32) / 255.0
+    y_h = int8_apply(model, variables, x, amax, table, train=False,
+                     chain_repblocks=True, stage_handoffs=True)
+    y_n = int8_apply(model, variables, x, amax, table, train=False,
+                     chain_repblocks=True, stage_handoffs=False)
+    err = np.abs(np.asarray(y_h[..., 13:]) - np.asarray(y_n[..., 13:])).max()
+    assert err < 0.05, err
+    berr = np.abs(np.asarray(y_h[..., :4]) - np.asarray(y_n[..., :4])).max()
+    assert berr < 2.0, berr
+
+
+def test_int8_sppf_maxpool_requant_commutes():
+    """The SPPF cv1->cv2 handoff's legality rests on max_pool commuting
+    with the monotone requant: maxpool(requant(x)) == requant(maxpool(x))
+    element-exactly."""
+    from flax import linen as nn
+
+    z = rng.normal(0, 3, (2, 16, 16, 8)).astype(np.float32)
+    z = np.maximum(z, 0)  # post-relu activations
+    s = float(np.abs(z).max()) / 127.0
+    req = lambda t: np.clip(np.round(t / s), 0, 127).astype(np.int8)
+    pool = lambda t: np.asarray(
+        nn.max_pool(jnp.asarray(t), (5, 5), strides=(1, 1),
+                    padding=((2, 2), (2, 2))))
+    np.testing.assert_array_equal(pool(req(z)), req(pool(z)))

@@ -120,6 +120,44 @@ def main(argv=None):
         out[f"{name}_ms"] = round(
             timed_scan(scan_over(int8_fwd), K, x, c0) * 1e3, 2)
 
+    # fusion-attribution rungs (r5: graph_handoffs + chain_exit_handoffs
+    # extended int8-in/int8-out past the backbone spine — price each layer
+    # of the mechanism separately)
+    for name, flags in (
+            ("int8_no_handoffs", dict(stage_handoffs=False)),
+            ("int8_per_conv", dict(stage_handoffs=False,
+                                   chain_repblocks=False))):
+        def int8_fwd_f(images_u8, _f=flags):
+            xx = (images_u8.astype(model.dtype)
+                  / jnp.asarray(255.0, model.dtype))
+            return int8_apply(model, variables, xx, amax, table,
+                              train=False, **_f)
+
+        out[f"{name}_ms"] = round(
+            timed_scan(scan_over(int8_fwd_f), K, x, c0) * 1e3, 2)
+
+    # NMS-inclusive pair: prices the decode+NMS residual that no conv-side
+    # fusion can touch (VERDICT r4 #3 "or prove the residual is decode/NMS")
+    from yololp_tpu.ops.nms import non_max_suppression
+
+    def with_nms(fwd):
+        def f(images_u8):
+            det, _, num = non_max_suppression(
+                fwd(images_u8).astype(jnp.float32), conf_thres=0.4,
+                iou_thres=0.45, max_det=300, pre_nms_topk=256)
+            return det.astype(jnp.float32) * 1e-9 + num[..., None].astype(
+                jnp.float32)
+        return f
+
+    def int8_full_fwd(images_u8):
+        xx = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
+        return int8_apply(model, variables, xx, amax, table, train=False)
+
+    out["bf16_nms_ms"] = round(
+        timed_scan(scan_over(with_nms(bf16_fwd)), K, x, c0) * 1e3, 2)
+    out["int8_full_nms_ms"] = round(
+        timed_scan(scan_over(with_nms(int8_full_fwd)), K, x, c0) * 1e3, 2)
+
     if not args.skip_chain_micro:
         from yololp_tpu.quant.int8_infer import _chain_repblock
         from yololp_tpu.utils.profiler import timed_scan_delta2 as timed_scan_delta

@@ -87,6 +87,134 @@ def backbone_handoffs(amax_by_path: Dict[str, float],
     return out
 
 
+def _unique_suffix(paths, suffix):
+    cands = [p for p in paths if p.endswith(suffix)]
+    return cands[0] if len(cands) == 1 else None
+
+
+def graph_handoffs(amax_by_path: Dict[str, float],
+                   weight_table: Dict[str, Tuple],
+                   skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS,
+                   relu_acts: bool = True) -> Dict[str, str]:
+    """{producer_conv_path: consumer_conv_path} across the WHOLE graph —
+    superset of backbone_handoffs (VERDICT r4 #3: the backbone-only map
+    left the neck/head glue round-tripping through bf16 per conv).
+
+    A handoff is legal when (a) the producer's activation is ReLU (it folds
+    into the requant clip's lower bound; silu does not fold — gate with
+    relu_acts, false for conv_silu model families), (b) every op between
+    producer and consumer is monotone and scale-preserving (identity,
+    max_pool, concat of parts all at the consumer's scale), and (c) the
+    producer's output has that single conv consumer. Seams emitted beyond
+    the backbone spine:
+
+      * SPPF internals: cv1 -> cv2 *through* the stacked 5x5 max_pools and
+        the 4-way concat — max is exact under monotone requant and all four
+        concat parts carry cv1's handed-off codes, so the whole SPPF runs
+        int8-in/int8-out. (Plain SPPF only; detected vs CSP-SPPF by the
+        absence of a sibling cv7, whose cv2 consumes the block INPUT.)
+      * CSP-SPPF internals: the cv1->cv3->cv4->(pools)->cv5->cv6->cv7
+        spine plus cv2->cv7 (both cv7 concat parts requantized to cv7's
+        scale).
+      * SPPF exit conv -> neck reduce_layer0 (the P5 map has exactly one
+        consumer in every PAN variant, models/reppan.py).
+      * BiFusion cv2 -> its stride-2 downsample (direct, single consumer;
+        BiFusion's activations are ReLU for every model family).
+    """
+    out = backbone_handoffs(amax_by_path, weight_table, skip_substrings)
+    paths = list(amax_by_path)
+
+    def ok(*ps):
+        return all(p is not None and p in amax_by_path and p in weight_table
+                   and not _skip(p, skip_substrings) for p in ps)
+
+    # BiFusion cv2 -> downsample: ReLU by construction (layers/blocks.py
+    # BiFusion hardcodes act=nn.relu), so not gated on relu_acts.
+    for p in paths:
+        if "Bifusion" in p and p.endswith("/cv2/conv"):
+            cons = p[: -len("cv2/conv")] + "downsample/conv"
+            if ok(p, cons):
+                out[p] = cons
+
+    if not relu_acts:
+        return out
+
+    red0 = _unique_suffix(paths, "neck/reduce_layer0/conv")
+    for p in paths:
+        if not p.endswith("/cv1/conv") or "_sppf/" not in p:
+            continue
+        base = p[: -len("cv1/conv")]
+        is_csp = (base + "cv7/conv") in amax_by_path
+        if is_csp:
+            spine = [("cv1", "cv3"), ("cv3", "cv4"), ("cv4", "cv5"),
+                     ("cv5", "cv6"), ("cv6", "cv7"), ("cv2", "cv7")]
+            for a, b in spine:
+                prod, cons = base + f"{a}/conv", base + f"{b}/conv"
+                if ok(prod, cons):
+                    out[prod] = cons
+            if ok(base + "cv7/conv", red0):
+                out[base + "cv7/conv"] = red0
+        else:
+            if ok(p, base + "cv2/conv"):
+                out[p] = base + "cv2/conv"
+            if ok(base + "cv2/conv", red0):
+                out[base + "cv2/conv"] = red0
+    return out
+
+
+def chain_exit_handoffs(amax_by_path: Dict[str, float],
+                        weight_table: Dict[str, Tuple],
+                        skip_substrings: Sequence[str] = DEFAULT_SKIP_SUBSTRINGS
+                        ) -> Dict[str, str]:
+    """{repblock_module_path: consumer_conv_path} for deploy RepBlock chains
+    whose exit activation has exactly ONE conv consumer — the chain's last
+    link then requantizes its int32 accumulator straight to that consumer's
+    calibrated int8 scale instead of dequantizing to bf16
+    (_chain_repblock exit_amax). Producer activation is the RepVGG ReLU
+    (always foldable), so no relu_acts gate; the CONSUMER's activation is
+    irrelevant (it applies to the consumer's own output).
+
+    Single-consumer chain exits (models/{efficientrep,reppan}.py +
+    effidehead.py data flow):
+      * ERBlock_{5,6}_rep -> its SPPF's cv1 (backbone tail),
+      * Rep_p4 -> reduce_layer1 (P5 necks) / Rep_p5 -> reduce_layer1 and
+        Rep_p4 -> reduce_layer2 (P6 necks),
+      * the last bottom-up RepBlock (Rep_n4 / Rep_n6) -> the deepest head
+        stem (detect/stem{2,3}) — the only neck output with one consumer.
+    Every other chain exit (Rep_p3, Rep_n3, ...) fans out to a downsample
+    AND a head stem, so it must stay bf16."""
+    paths = list(amax_by_path)
+    out: Dict[str, str] = {}
+
+    def ok(p):
+        return (p is not None and p in amax_by_path and p in weight_table
+                and not _skip(p, skip_substrings))
+
+    for p in paths:
+        for st in ("ERBlock_5", "ERBlock_6"):
+            sfx = f"{st}_rep/conv1/conv"
+            if p.endswith(sfx):
+                rb = p[: -len("/conv1/conv")]
+                cons = rb[: -len(f"{st}_rep")] + f"{st}_sppf/cv1/conv"
+                if ok(cons):
+                    out[rb] = cons
+
+    def add(rb_sfx, cons_sfx):
+        rbp = _unique_suffix(paths, rb_sfx + "/conv1/conv")
+        cons = _unique_suffix(paths, cons_sfx)
+        if rbp is not None and ok(cons):
+            out[rbp[: -len("/conv1/conv")]] = cons
+
+    if any(p.endswith("Rep_p5/conv1/conv") for p in paths):   # P6 neck
+        add("neck/Rep_p5", "neck/reduce_layer1/conv")
+        add("neck/Rep_p4", "neck/reduce_layer2/conv")
+        add("neck/Rep_n6", "detect/stem3/conv")
+    else:
+        add("neck/Rep_p4", "neck/reduce_layer1/conv")
+        add("neck/Rep_n4", "detect/stem2/conv")
+    return out
+
+
 def conv3x3_as_dots(x, w_hwio):
     """3x3 stride-1 same-padding conv(int8,int8)->int32 as 9 shifted
     (N*H*W,C)@(C,O) dot_generals, int32-accumulated on the VPU.
@@ -135,7 +263,7 @@ def _int8_conv(a_q, w_q, strides, padding, groups=1, conv_impl="conv"):
 
 
 def _chain_repblock(x, sub_paths, amax_by_path, weight_table,
-                    out_dtype=None, conv_impl="conv"):
+                    out_dtype=None, conv_impl="conv", exit_amax=None):
     """Run a deploy-mode RepBlock (a strictly sequential chain of biased
     3x3-conv + ReLU links, layers/blocks.py RepBlock) entirely in int8:
     quantize once at chain entry, then each internal link goes
@@ -157,7 +285,12 @@ def _chain_repblock(x, sub_paths, amax_by_path, weight_table,
     An int8 input is accepted as ALREADY quantized at this chain's entry
     scale (the stage-handoff path: the producing downsample conv requanted
     straight to our first conv's calibrated amax); out_dtype then supplies
-    the exit dtype an int8 input cannot."""
+    the exit dtype an int8 input cannot.
+
+    With exit_amax (chain_exit_handoffs: the chain's output has a single
+    conv consumer), the LAST link also requantizes straight to the
+    consumer's calibrated scale and the chain returns int8 codes — the
+    chain never touches bf16 on either side."""
     scales = [jnp.float32(amax_by_path[p]) / 127.0 for p in sub_paths]
     if x.dtype == jnp.int8:
         q = x
@@ -176,6 +309,12 @@ def _chain_repblock(x, sub_paths, amax_by_path, weight_table,
             # values are >= 0 under a symmetric positive scale)
             q = jnp.clip(jnp.round(y32.astype(jnp.float32) * a + b),
                          0, 127).astype(jnp.int8)
+        elif exit_amax is not None:
+            s_exit = jnp.float32(exit_amax) / 127.0
+            a = scales[i] * w_scale / s_exit
+            b = bias / s_exit
+            return jnp.clip(jnp.round(y32.astype(jnp.float32) * a + b),
+                            0, 127).astype(jnp.int8)
         else:
             yf = y32.astype(jnp.float32) * (scales[i] * w_scale) + bias
             return jnp.maximum(yf, 0.0).astype(out_dtype)
@@ -189,19 +328,30 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
     """Forward pass executing calibrated convs in int8. With
     chain_repblocks (default), deploy-mode RepVGG RepBlock stages run as
     fused int8->int8 chains (_chain_repblock) instead of per-conv
-    quantize/dequant round-trips. With stage_handoffs (default), backbone
-    stage-boundary convs (backbone_handoffs) additionally requantize their
-    int32 accumulator straight to the next conv's calibrated int8 scale,
-    so the whole backbone spine runs int8-in/int8-out; the consumer
-    detects the int8 input and skips its own quantize. The subsequent
-    nn.relu in RepVGGBlock is an identity on the handed-off codes (the
-    requant clip's lower bound is 0)."""
+    quantize/dequant round-trips. With stage_handoffs (default),
+    single-consumer producer convs ACROSS THE WHOLE GRAPH (graph_handoffs:
+    backbone spine + SPPF internals + BiFusion seams + the P5->neck seam)
+    requantize their int32 accumulator straight to the consumer's
+    calibrated int8 scale, and RepBlock chains with a single-consumer exit
+    (chain_exit_handoffs: Rep_p4->reduce_layer1, Rep_n4->head stem, the
+    ERBlock_5_rep->SPPF seam) exit as int8 codes — the consumer detects
+    the int8 input and skips its own quantize. The subsequent ReLU is an
+    identity on the handed-off codes (the requant clip's lower bound is
+    0); handoffs whose producer activation is not ReLU are never emitted
+    (relu fold legality, graph_handoffs docstring)."""
     from yololp_tpu.layers.blocks import RepBlock, RepVGGBlock
 
     model_dtype = getattr(model, "dtype", x.dtype)
-    handoffs = (backbone_handoffs(amax_by_path, weight_table,
-                                  skip_substrings)
+    cfg = getattr(model, "config", None)
+    training_mode = (cfg.get("training_mode", "repvgg")
+                     if hasattr(cfg, "get") else "repvgg")
+    relu_acts = training_mode != "conv_silu"
+    handoffs = (graph_handoffs(amax_by_path, weight_table, skip_substrings,
+                               relu_acts=relu_acts)
                 if stage_handoffs else {})
+    chain_exits = (chain_exit_handoffs(amax_by_path, weight_table,
+                                       skip_substrings)
+                   if (stage_handoffs and chain_repblocks) else {})
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
@@ -217,15 +367,19 @@ def int8_apply(model, variables, x, amax_by_path: Dict[str, float],
                 if (conv_impl == "pallas"
                         and x_in.shape[1] == x_in.shape[2]):
                     # fused pallas links: conv+requant in one kernel, the
-                    # int32 accumulator never leaves VMEM
+                    # int32 accumulator never leaves VMEM (no exit handoff
+                    # on this path — the kernel's epilogue writes bf16)
                     from yololp_tpu.ops.pallas_conv import \
                         chain_repblock_pallas
                     return chain_repblock_pallas(x_in, sub, amax_by_path,
                                                  weight_table,
                                                  out_dtype=model_dtype)
-                return _chain_repblock(x_in, sub, amax_by_path,
-                                       weight_table, out_dtype=model_dtype,
-                                       conv_impl=conv_impl)
+                cons = chain_exits.get(path)
+                return _chain_repblock(
+                    x_in, sub, amax_by_path, weight_table,
+                    out_dtype=model_dtype, conv_impl=conv_impl,
+                    exit_amax=(amax_by_path[cons] if cons is not None
+                               else None))
         if (isinstance(m, nn.Conv) and context.method_name == "__call__"):
             path = _module_path(context)
             if (path in amax_by_path and path in weight_table
