@@ -427,21 +427,48 @@ def make_int8_infer_fn(model, variables, amax_by_path: Dict[str, float],
                        candidate_selector: str = "topk",
                        conv_impl: str = "conv"):
     """Jitted uint8-batch -> detections pipeline running calibrated convs in
-    int8 (drop-in for the bf16 deploy path)."""
+    int8 (drop-in for the bf16 deploy path).
+
+    The first call tries the fully-fused executor (graph + chain-exit
+    handoffs); if that program fails to compile/execute on the attached
+    backend, the fn PERMANENTLY falls back to the backbone-spine-only
+    configuration (stage_handoffs=False) that every prior round verified
+    on hardware, with a warning — an accuracy eval must degrade to a
+    slower program, never die."""
+    import warnings
+
     from yololp_tpu.ops.nms import non_max_suppression
 
     table = quantize_kernels_int8(variables["params"], skip_substrings)
 
-    @jax.jit
+    def make(stage_handoffs):
+        @jax.jit
+        def run(images_u8):
+            x = (images_u8.astype(model.dtype)
+                 / jnp.asarray(255.0, model.dtype))
+            pred = int8_apply(model, variables, x, amax_by_path, table,
+                              skip_substrings, conv_impl=conv_impl,
+                              stage_handoffs=stage_handoffs, train=False)
+            if not with_nms:
+                return pred
+            return non_max_suppression(
+                pred.astype(jnp.float32), conf_thres=conf_thres,
+                iou_thres=iou_thres, max_det=max_det,
+                candidate_selector=candidate_selector)
+        return run
+
+    fused, conservative = make(True), make(False)
+    state = {"fallback": False}
+
     def run(images_u8):
-        x = images_u8.astype(model.dtype) / jnp.asarray(255.0, model.dtype)
-        pred = int8_apply(model, variables, x, amax_by_path, table,
-                          skip_substrings, conv_impl=conv_impl, train=False)
-        if not with_nms:
-            return pred
-        return non_max_suppression(pred.astype(jnp.float32),
-                                   conf_thres=conf_thres, iou_thres=iou_thres,
-                                   max_det=max_det,
-                                   candidate_selector=candidate_selector)
+        if not state["fallback"]:
+            try:
+                return fused(images_u8)
+            except Exception as e:  # noqa: BLE001 — backend lowering guard
+                state["fallback"] = True
+                warnings.warn(
+                    "int8 fused-handoff executor failed on this backend "
+                    f"({e}); falling back to stage_handoffs=False")
+        return conservative(images_u8)
 
     return run
