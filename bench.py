@@ -503,6 +503,45 @@ def _ensure_native_artifacts(timeout_s=900):
             "sys").stderr, flush=True)
 
 
+def bench_preproc(n=256, size=640, src=(720, 1160), quality=90):
+    """JPEG decode + letterbox throughput of the native C++ preproc library
+    (native/preproc, threaded cv2 decode behind a C ABI) on THIS host —
+    the north star (BASELINE.md) is defined e2e *including* JPEG decode,
+    matching the reference TRT demo's full decode->infer->NMS loop
+    (deploy/TensorRT/yolov6.cpp:331-420). Host-side only (runs before any
+    device claim). Synthetic high-entropy JPEGs at CCPD geometry
+    (720x1160) — conservative: natural images decode faster. Returns
+    images/sec or None when the library is absent and cannot be built."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    so_dir = os.path.join(here, "native", "preproc")
+    if not os.path.exists(os.path.join(so_dir, "libyololp_preproc.so")):
+        try:
+            subprocess.run(["make", "-C", so_dir], check=True,
+                           capture_output=True, timeout=300)
+        except Exception:  # noqa: BLE001 — toolchain may be absent
+            return None
+    from yololp_tpu.data.native import (decode_letterbox_batch,
+                                        native_available)
+    if not native_available():
+        return None
+    import cv2
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (src[0], src[1], 3), np.uint8)
+    bufs = []
+    for i in range(n):
+        ok, enc = cv2.imencode(".jpg", np.roll(base, 7 * i + 1, axis=1),
+                               [cv2.IMWRITE_JPEG_QUALITY, quality])
+        if ok:
+            bufs.append(enc.tobytes())
+    decode_letterbox_batch(bufs[:8], size)  # warm the thread pool
+    t0 = time.perf_counter()
+    decode_letterbox_batch(bufs, size)
+    return len(bufs) / (time.perf_counter() - t0)
+
+
 def main():
     # Run at elevated priority so stray niced background work (the ops
     # convention for long CPU jobs here) cannot starve the timing loops.
@@ -537,6 +576,12 @@ def main():
     # under client contention, which CLAUDE.md says invalidates timings).
     native = {}
     if os.environ.get("YOLOLP_BENCH_FAST") != "1":
+        try:
+            pp = bench_preproc()
+            if pp is not None:
+                native["preproc_images_per_sec"] = round(pp, 1)
+        except Exception as e:  # noqa: BLE001 — host-side secondary metric
+            native["preproc_error"] = str(e)[:200]
         _ensure_native_artifacts()
         for key, art in (("native_int8", "/tmp/yololps_int8_640.stablehlo"),
                          ("native_bf16", "/tmp/yololps_bf16_640.stablehlo")):
@@ -608,6 +653,16 @@ def main():
                                     "regime); host-fed per-step adds ~1 "
                                     "tunnel RTT/step")
     result.update(native)
+    if "preproc_images_per_sec" in native:
+        # decode-inclusive e2e: host decode overlaps device inference in a
+        # real serving loop (native runner pipelined mode), so the combined
+        # rate is the min of the two stages; on this 1-CPU host it is
+        # decode-bound — the device side keeps its measured headroom.
+        result["e2e_decode_incl_images_per_sec"] = round(
+            min(native["preproc_images_per_sec"], ips), 1)
+        result["e2e_decode_incl_note"] = (
+            "min(host JPEG decode+letterbox, device e2e); decode-bound on "
+            "this 1-CPU bench host")
     result.update(contention)
     post = _contention_report()
     if post.get("load_1m", 0) > contention.get("load_1m", 0) + 1:
