@@ -232,8 +232,10 @@ def test_int8_graph_handoffs_cover_neck_and_head_seams():
     assert hand["neck/Bifusion1/cv2/conv"] == "neck/Bifusion1/downsample/conv"
 
     exits = chain_exit_handoffs(amax, table)
-    assert exits["backbone/ERBlock_5_rep"] == \
-        "backbone/ERBlock_5_sppf/cv1/conv"
+    # CSP-SPPF: cv1 AND cv2 both consume the block input, so the
+    # ERBlock_5_rep exit is NOT single-consumer and must not be emitted
+    # (it would hand cv2 codes at cv1's scale under non-max calibration)
+    assert "backbone/ERBlock_5_rep" not in exits
     assert exits["neck/Rep_p4"] == "neck/reduce_layer1/conv"
     assert exits["neck/Rep_n4"] == "detect/stem2/conv"
     # multi-consumer exits must NOT be emitted
@@ -248,6 +250,29 @@ def test_int8_graph_handoffs_cover_neck_and_head_seams():
     assert err < 0.05, err
     berr = np.abs(np.asarray(y_h[..., :4]) - np.asarray(y_n[..., :4])).max()
     assert berr < 2.0, berr
+
+
+def test_chain_exit_handoffs_plain_vs_csp_sppf_unit():
+    """Unit-level: a plain-SPPF path set emits the ERBlock_5_rep->cv1
+    exit; a CSP-SPPF path set (cv7 present) must not — there cv1 AND cv2
+    both consume the block input, so codes handed off at cv1's scale
+    would reach cv2 at the wrong scale under non-max calibration."""
+    from yololp_tpu.quant.int8_infer import chain_exit_handoffs
+
+    def fake(paths):
+        return {p: 1.0 for p in paths}, {p: ("w", "s", "b") for p in paths}
+
+    plain = ["backbone/ERBlock_5_rep/conv1/conv",
+             "backbone/ERBlock_5_sppf/cv1/conv",
+             "backbone/ERBlock_5_sppf/cv2/conv"]
+    amax, table = fake(plain)
+    exits = chain_exit_handoffs(amax, table)
+    assert exits["backbone/ERBlock_5_rep"] == \
+        "backbone/ERBlock_5_sppf/cv1/conv"
+
+    amax, table = fake(plain + ["backbone/ERBlock_5_sppf/cv7/conv"])
+    exits = chain_exit_handoffs(amax, table)
+    assert "backbone/ERBlock_5_rep" not in exits
 
 
 def test_int8_sppf_maxpool_requant_commutes():

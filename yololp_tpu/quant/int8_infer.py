@@ -195,7 +195,15 @@ def chain_exit_handoffs(amax_by_path: Dict[str, float],
             sfx = f"{st}_rep/conv1/conv"
             if p.endswith(sfx):
                 rb = p[: -len("/conv1/conv")]
-                cons = rb[: -len(f"{st}_rep")] + f"{st}_sppf/cv1/conv"
+                sppf = rb[: -len(f"{st}_rep")] + f"{st}_sppf/"
+                if (sppf + "cv7/conv") in amax_by_path:
+                    # CSP-SPPF: BOTH cv1 and cv2 consume the block input
+                    # (layers/blocks.py CSPSPPFBase) — codes handed off at
+                    # cv1's scale would reach cv2 at the wrong scale
+                    # whenever cv1/cv2 calibrate differently (any method
+                    # beyond max). Not a single-consumer exit; skip.
+                    continue
+                cons = sppf + "cv1/conv"
                 if ok(cons):
                     out[rb] = cons
 
